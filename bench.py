@@ -1,0 +1,131 @@
+"""Benchmark: fused graph-attention aggregate (SDDMM + masked softmax + SpMM).
+
+Prints ONE JSON line: {"metric": ..., "value": ..., "unit": "edges/s/chip",
+"vs_baseline": ...}.
+
+- value: real-edge throughput of the Pallas flash-GAT fused kernel on the
+  ACM3025-shaped HAN workload (2 meta-paths × 8 heads, N=3025), forward pass.
+- vs_baseline: speedup over the XLA dense masked-softmax path — i.e. over a
+  direct port of the reference's dense attention math (utils/layers.py:26-34)
+  to XLA on the same chip. >1.0 means the kernel beats the ported reference.
+
+Usage: python bench.py [--impl flash|dense|csr|ell] [--n N] [--heads K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def median_time(fn_many, *args, warmup=2, reps=20, outer=5):
+    """Time fn_many(*args, reps) which runs `reps` dependency-chained
+    iterations in ONE jit program and returns a scalar.
+
+    The scalar fetch forces completion — on remote-attached backends
+    (axon tunnel) `block_until_ready` returns at enqueue, and the
+    device→host round trip costs ~28 ms, so per-op latency must be
+    measured as the marginal cost of extra in-graph iterations.
+    """
+    for _ in range(warmup):
+        float(fn_many(*args, 1))
+        float(fn_many(*args, reps))
+    t1 = min(_timed(fn_many, *args, 1) for _ in range(outer))
+    tr = min(_timed(fn_many, *args, reps) for _ in range(outer))
+    return max((tr - t1) / (reps - 1), 1e-9)
+
+
+def _timed(fn, *args):
+    t0 = time.perf_counter()
+    float(fn(*args))
+    return time.perf_counter() - t0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=8192)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--dim", type=int, default=8)
+    p.add_argument("--avg-degree", type=float, default=128.0)
+    p.add_argument("--metapaths", type=int, default=2)
+    p.add_argument("--impl", default="flash")
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from han_tpu.graph.build import metapath_to_csr, metapath_to_dense
+    from han_tpu.graph.synthetic import planted_hetero
+    from han_tpu.ops.attention import attention_aggregate
+
+    ds = planted_hetero(
+        n_nodes=args.n, n_feats=64, n_classes=3, n_metapaths=args.metapaths,
+        avg_degree=args.avg_degree, train_per_class=100, n_val=100, seed=0)
+
+    dense_graphs = [metapath_to_dense(a) for a in ds.metapath_adjs]
+    csr_graphs = [metapath_to_csr(a) for a in ds.metapath_adjs]
+    total_edges = sum(g.n_edges for g in csr_graphs)
+
+    rng = np.random.default_rng(0)
+    k, d = args.heads, args.dim
+    fts = jnp.asarray(rng.standard_normal((args.n, k, d)).astype(np.float32))
+    ld = jnp.asarray(rng.standard_normal((args.n, k)).astype(np.float32))
+    ls = jnp.asarray(rng.standard_normal((args.n, k)).astype(np.float32))
+
+    def make_fn(impl):
+        graphs = dense_graphs if impl in ("flash", "dense") else csr_graphs
+
+        # graphs passed as jit ARGUMENTS: closure-captured device arrays are
+        # re-uploaded per call on remote-attached TPU backends (~35 ms/37 MB).
+        # `reps` dependency-chained iterations run inside one program; the
+        # tiny carry feedback prevents XLA from hoisting the loop body.
+        @jax.jit
+        def fwd_many(graphs, fts, ld, ls, reps):
+            # dynamic loop bound → ONE compile serves every rep count
+            def body(_, carry):
+                f = fts + carry * 1e-30
+                outs = [attention_aggregate(g, f, ld, ls, impl=impl)
+                        for g in graphs]
+                return sum(o.sum() for o in outs)
+
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        return lambda fts, ld, ls, reps: fwd_many(
+            graphs, fts, ld, ls, jnp.int32(reps))
+
+    print(f"# timing impl={args.impl}", file=sys.stderr, flush=True)
+    t_main = median_time(make_fn(args.impl), fts, ld, ls, reps=args.iters)
+    print(f"# t_main={t_main*1e3:.3f} ms; timing dense baseline",
+          file=sys.stderr, flush=True)
+    t_base = median_time(make_fn("dense"), fts, ld, ls, reps=args.iters)
+
+    edges_per_s = total_edges * k / t_main
+    result = {
+        "metric": f"edges/s/chip ({args.impl} fused attention aggregate, "
+                  f"N={args.n}, P={args.metapaths}, K={k}, D={d})",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(t_base / t_main, 4),
+        "detail": {
+            "t_main_ms": round(t_main * 1e3, 3),
+            "t_xla_dense_ms": round(t_base * 1e3, 3),
+            "total_edges": int(total_edges),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

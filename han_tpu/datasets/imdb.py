@@ -1,0 +1,132 @@
+"""IMDB-5000 heterogeneous dataset built from the raw CSV.
+
+HAN setup (han.pdf Table 2 / §5.2): movies labeled by genre
+{Action, Comedy, Drama}; meta-paths MAM (shared actor) and MDM (shared
+director); features = bag-of-words over plot keywords; split 300/300/rest.
+
+The reference ships only the raw ``movie_metadata.csv`` (data/imdb/) with no
+preprocessing code, so this loader defines the canonical pipeline: keep
+movies whose genre list contains exactly one of the three target genres
+(unambiguous label), with a named director and at least one named actor.
+"""
+
+from __future__ import annotations
+
+import csv
+
+import numpy as np
+import scipy.sparse as sp
+
+from han_tpu.datasets.base import REFERENCE_DATA, HeteroDataset, cache_path, load_cached, save_dataset
+
+GENRES = ("Action", "Comedy", "Drama")
+
+
+def load_imdb(
+    path=None,
+    *,
+    train_size: int = 300,
+    val_size: int = 300,
+    min_keyword_count: int = 2,
+    seed: int = 0,
+    use_cache: bool = True,
+) -> HeteroDataset:
+    cached = load_cached(cache_path("imdb")) if use_cache else None
+    if cached is not None:
+        return cached
+
+    path = (REFERENCE_DATA / "imdb" / "movie_metadata.csv") if path is None else path
+
+    movies = []  # (title, label, director, actors, keywords)
+    with open(path, newline="", encoding="utf-8", errors="replace") as f:
+        for row in csv.DictReader(f):
+            genres = set((row.get("genres") or "").split("|"))
+            hits = [g for g in GENRES if g in genres]
+            if not hits:
+                continue  # unlabeled; multi-genre movies take the first
+                # genre in GENRES priority order (Action > Comedy > Drama)
+            director = (row.get("director_name") or "").strip()
+            actors = [a.strip() for a in (
+                row.get("actor_1_name"), row.get("actor_2_name"), row.get("actor_3_name"))
+                if a and a.strip()]
+            if not director or not actors:
+                continue
+            kws = [k.strip() for k in (row.get("plot_keywords") or "").split("|") if k.strip()]
+            title = (row.get("movie_title") or "").strip()
+            movies.append((title, GENRES.index(hits[0]), director, actors, kws))
+
+    # dedupe by (title, director)
+    seen = set()
+    uniq = []
+    for m in movies:
+        key = (m[0], m[2])
+        if key not in seen:
+            seen.add(key)
+            uniq.append(m)
+    movies = uniq
+    n = len(movies)
+
+    directors = sorted({m[2] for m in movies})
+    d_index = {d: i for i, d in enumerate(directors)}
+    actors = sorted({a for m in movies for a in m[3]})
+    a_index = {a: i for i, a in enumerate(actors)}
+
+    def incidence(col_index, items_fn):
+        rows, cols = [], []
+        for i, m in enumerate(movies):
+            for it in items_fn(m):
+                rows.append(i)
+                cols.append(col_index[it])
+        mat = sp.coo_matrix((np.ones(len(rows), np.float32), (rows, cols)),
+                            shape=(n, len(col_index))).tocsr()
+        mat.sum_duplicates()
+        mat.data = np.ones_like(mat.data)
+        return mat
+
+    ma = incidence(a_index, lambda m: m[3])
+    md = incidence(d_index, lambda m: [m[2]])
+    mam = (ma @ ma.T).tocsr()
+    mdm = (md @ md.T).tocsr()
+    adjs = []
+    for a in (mam, mdm):
+        a.data = np.ones_like(a.data)
+        a.setdiag(0)
+        a.eliminate_zeros()
+        adjs.append(a)
+
+    # plot-keyword bag-of-words features
+    from collections import Counter
+    counter = Counter(k for m in movies for k in set(m[4]))
+    kws = sorted(k for k, v in counter.items() if v >= min_keyword_count)
+    kw_index = {k: i for i, k in enumerate(kws)}
+    feats = np.zeros((n, len(kws)), dtype=np.float32)
+    for i, m in enumerate(movies):
+        for k in m[4]:
+            j = kw_index.get(k)
+            if j is not None:
+                feats[i, j] = 1.0
+
+    labels = np.zeros((n, len(GENRES)), dtype=np.float32)
+    labels[np.arange(n), [m[1] for m in movies]] = 1.0
+
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    train_mask = np.zeros(n, bool)
+    val_mask = np.zeros(n, bool)
+    train_mask[perm[:train_size]] = True
+    val_mask[perm[train_size:train_size + val_size]] = True
+    test_mask = ~(train_mask | val_mask)
+
+    ds = HeteroDataset(
+        metapath_adjs=adjs,
+        features=feats,
+        labels=labels,
+        train_mask=train_mask,
+        val_mask=val_mask,
+        test_mask=test_mask,
+        name="imdb",
+        metapath_names=("MAM", "MDM"),
+    )
+    if use_cache:
+        save_dataset(ds, cache_path("imdb"))
+    return ds

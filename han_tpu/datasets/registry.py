@@ -1,0 +1,38 @@
+"""Dataset registry: name → loader."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from han_tpu.datasets.base import HeteroDataset
+
+_REGISTRY: dict[str, Callable[..., HeteroDataset]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def load_dataset(name: str, **kwargs) -> HeteroDataset:
+    if name in ("acm", "acm3025"):
+        from han_tpu.datasets.acm import load_acm3025
+        return load_acm3025(**kwargs)
+    if name == "acm_synthetic":
+        from han_tpu.datasets.acm import acm_synthetic
+        return acm_synthetic(**kwargs)
+    if name == "dblp":
+        from han_tpu.datasets.dblp import load_dblp
+        return load_dblp(**kwargs)
+    if name == "imdb":
+        from han_tpu.datasets.imdb import load_imdb
+        return load_imdb(**kwargs)
+    if name == "powerlaw":
+        from han_tpu.graph.synthetic import powerlaw_hetero
+        return powerlaw_hetero(**kwargs)
+    if name in _REGISTRY:
+        return _REGISTRY[name](**kwargs)
+    raise KeyError(f"unknown dataset {name!r}; known: acm, acm_synthetic, dblp, "
+                   f"imdb, powerlaw, {sorted(_REGISTRY)}")

@@ -1,0 +1,169 @@
+"""Model family: GAT (homogeneous) and HAN (heterogeneous) variants.
+
+Parity map to the reference (CG-Labs/HAN, models/gat.py):
+
+- :class:`GAT`          ↔ ``GAT.inference`` (gat.py:8-32): multi-head concat
+  layers, output layer = mean of heads projecting to n_classes via attention.
+- :class:`HAN`          ↔ ``HeteGAT_multi.inference`` (gat.py:34-77):
+  per-meta-path feature inputs, independent GAT towers per meta-path,
+  semantic attention fusion, Dense classifier head(s) averaged.
+- :class:`HANShared`    ↔ ``HeteGAT.inference`` (gat.py:132-203): a single
+  shared feature input across meta-paths + optional per-meta-path mean
+  attention-coefficient output (``return_coefs``).
+
+The reference's ``HeteGAT_no_coef`` (gat.py:79-130) is a broken duplicate of
+``HeteGAT`` (NameError at gat.py:93) and is intentionally not replicated —
+``HANShared(return_coefs=False)`` is its working equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from han_tpu.nn.layers import GATConv, SemanticAttention, glorot, zeros
+from han_tpu.ops.attention import Impl
+
+
+class GAT(nn.Module):
+    """Homogeneous multi-layer GAT; logits head = mean of attention heads
+    projecting directly to class space (reference gat.py:24-30)."""
+
+    n_classes: int
+    hid_units: Sequence[int] = (8,)
+    n_heads: Sequence[int] = (8, 1)
+    activation: Callable = nn.elu
+    residual: bool = False
+    attn_drop: float = 0.0
+    ffd_drop: float = 0.0
+    impl: Impl = "auto"
+
+    @nn.compact
+    def __call__(self, graph, x: jax.Array, *, deterministic: bool = True):
+        h = GATConv(self.hid_units[0], self.n_heads[0], activation=self.activation,
+                    attn_drop=self.attn_drop, ffd_drop=self.ffd_drop,
+                    residual=False, impl=self.impl)(graph, x, deterministic=deterministic)
+        for i in range(1, len(self.hid_units)):
+            h = GATConv(self.hid_units[i], self.n_heads[i], activation=self.activation,
+                        attn_drop=self.attn_drop, ffd_drop=self.ffd_drop,
+                        residual=self.residual, impl=self.impl)(
+                            graph, h, deterministic=deterministic)
+        logits = GATConv(self.n_classes, self.n_heads[-1], activation=lambda v: v,
+                         attn_drop=self.attn_drop, ffd_drop=self.ffd_drop,
+                         residual=False, concat_heads=False, impl=self.impl)(
+                             graph, h, deterministic=deterministic)
+        return logits  # (N, C)
+
+
+class _MetapathTower(nn.Module):
+    """One per-meta-path GAT stack: n_heads[0] concat heads at hid_units[0],
+    then optional deeper layers (reference gat.py:42-57)."""
+
+    hid_units: Sequence[int]
+    n_heads: Sequence[int]
+    activation: Callable
+    residual: bool
+    attn_drop: float
+    ffd_drop: float
+    impl: Impl
+
+    @nn.compact
+    def __call__(self, graph, x, *, deterministic: bool = True, return_coefs: bool = False):
+        out = GATConv(self.hid_units[0], self.n_heads[0], activation=self.activation,
+                      attn_drop=self.attn_drop, ffd_drop=self.ffd_drop,
+                      residual=False, impl=self.impl)(
+                          graph, x, deterministic=deterministic, return_coefs=return_coefs)
+        h, coefs = out if return_coefs else (out, None)
+        for i in range(1, len(self.hid_units)):
+            h = GATConv(self.hid_units[i], self.n_heads[i], activation=self.activation,
+                        attn_drop=self.attn_drop, ffd_drop=self.ffd_drop,
+                        residual=self.residual, impl=self.impl)(
+                            graph, h, deterministic=deterministic)
+        if return_coefs:
+            return h, coefs.mean(axis=0)  # mean over heads (reference gat.py:172-173)
+        return h
+
+
+class HAN(nn.Module):
+    """Heterogeneous graph attention network (reference HeteGAT_multi).
+
+    ``__call__(graphs, xs)`` takes P graphs (one per meta-path) and P feature
+    arrays (typically the same array repeated); returns
+    ``(logits (N, C), embedding (N, K*hid), alphas (N, P))``.
+    """
+
+    n_classes: int
+    hid_units: Sequence[int] = (8,)
+    n_heads: Sequence[int] = (8, 1)
+    semantic_dim: int = 128
+    activation: Callable = nn.elu
+    residual: bool = False
+    attn_drop: float = 0.0
+    ffd_drop: float = 0.0
+    impl: Impl = "auto"
+
+    @nn.compact
+    def __call__(self, graphs: Sequence, xs: Sequence[jax.Array], *,
+                 deterministic: bool = True):
+        embeds = []
+        for p, (graph, x) in enumerate(zip(graphs, xs)):
+            tower = _MetapathTower(self.hid_units, self.n_heads, self.activation,
+                                   self.residual, self.attn_drop, self.ffd_drop,
+                                   self.impl, name=f"tower_{p}")
+            embeds.append(tower(graph, x, deterministic=deterministic))
+        multi = jnp.stack(embeds, axis=1)  # (N, P, K*hid)
+        final, alphas = SemanticAttention(self.semantic_dim)(multi)
+        # classifier: mean of n_heads[-1] Dense layers (reference gat.py:66-76
+        # — a plain Dense head, NOT an attention head)
+        outs = []
+        for i in range(self.n_heads[-1]):
+            outs.append(nn.Dense(self.n_classes, kernel_init=glorot,
+                                 bias_init=zeros, name=f"classifier_{i}")(final))
+        logits = sum(outs) / self.n_heads[-1]
+        return logits, final, alphas
+
+
+class HANShared(nn.Module):
+    """HAN with one shared feature input across meta-paths and optional mean
+    attention-coefficient output per meta-path (reference HeteGAT,
+    gat.py:132-203). Coefficients require the dense backend."""
+
+    n_classes: int
+    hid_units: Sequence[int] = (8,)
+    n_heads: Sequence[int] = (8, 1)
+    semantic_dim: int = 128
+    activation: Callable = nn.elu
+    residual: bool = False
+    attn_drop: float = 0.0
+    ffd_drop: float = 0.0
+    impl: Impl = "auto"
+    return_coefs: bool = False
+
+    @nn.compact
+    def __call__(self, graphs: Sequence, x: jax.Array, *, deterministic: bool = True):
+        embeds, coef_list = [], []
+        for p, graph in enumerate(graphs):
+            tower = _MetapathTower(self.hid_units, self.n_heads, self.activation,
+                                   self.residual, self.attn_drop, self.ffd_drop,
+                                   self.impl, name=f"tower_{p}")
+            out = tower(graph, x, deterministic=deterministic,
+                        return_coefs=self.return_coefs)
+            if self.return_coefs:
+                h, coefs = out
+                coef_list.append(coefs)
+            else:
+                h = out
+            embeds.append(h)
+        multi = jnp.stack(embeds, axis=1)
+        final, alphas = SemanticAttention(self.semantic_dim)(multi)
+        outs = []
+        for i in range(self.n_heads[-1]):
+            outs.append(nn.Dense(self.n_classes, kernel_init=glorot,
+                                 bias_init=zeros, name=f"classifier_{i}")(final))
+        logits = sum(outs) / self.n_heads[-1]
+        if self.return_coefs:
+            return logits, final, alphas, coef_list
+        return logits, final, alphas

@@ -1,0 +1,250 @@
+"""Graph attention aggregation ops — the framework's compute core.
+
+One mathematical spec, several executions:
+
+    logits[i, j, k] = leaky_relu(logit_dst[i, k] + logit_src[j, k])
+    coefs[i, :, k]  = softmax over in-neighbors j of node i
+    out[i, k, :]    = sum_j coefs[i, j, k] * fts[j, k, :]
+
+This is the reference attention head factored into edge-domain form
+(reference utils/layers.py:26-34 dense; utils/layers.py:93-115 sparse —
+the two are numerically identical because exp(-1e9 + x) underflows to 0 in
+fp32; see tests/test_ops_parity.py).
+
+Implementations:
+
+- ``dense``  — materialized (K, N, N) masked softmax; the oracle; O(N²) memory.
+- ``ell``    — gather over fixed-fanout ELLPACK neighbor lists; O(N·F) memory;
+               XLA lowers the gathers + the fused softmax natively.
+- ``csr``    — COO/segment-domain: SDDMM → segment-softmax → SpMM via XLA
+               segment ops; O(E) memory; the behavioral spec for the Pallas
+               kernels.
+- ``flash``  — fused block-sparse Pallas flash-GAT kernel (ops/pallas).
+
+All take features in head-major layout ``fts: (N, K, D)`` and per-head node
+logit terms ``logit_dst, logit_src: (N, K)`` and return ``(N, K, D)``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+from han_tpu.graph.containers import CSRGraph, DenseGraph, EllGraph, MASK_VALUE
+
+Impl = Literal["auto", "dense", "ell", "csr", "flash"]
+
+
+def leaky_relu(x: jax.Array, slope: float) -> jax.Array:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+# ---------------------------------------------------------------------------
+# dense — O(N^2) oracle (reference utils/layers.py:26-34 semantics)
+# ---------------------------------------------------------------------------
+
+
+def dense_attention(
+    graph: DenseGraph,
+    fts: jax.Array,  # (N, K, D) features used for aggregation (post-dropout)
+    logit_dst: jax.Array,  # (N, K)
+    logit_src: jax.Array,  # (N, K)
+    *,
+    slope: float = 0.2,
+    coef_dropout: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    return_coefs: bool = False,
+):
+    bias = graph.bias  # (N, N)
+    # (K, N, N) logits: row i attends over columns j
+    logits = logit_dst.T[:, :, None] + logit_src.T[:, None, :]
+    coefs = jax.nn.softmax(leaky_relu(logits, slope) + bias[None, :, :], axis=-1)
+    raw_coefs = coefs
+    if coef_dropout > 0.0:
+        keep = 1.0 - coef_dropout
+        mask = jax.random.bernoulli(dropout_rng, keep, coefs.shape)
+        coefs = jnp.where(mask, coefs / keep, 0.0)
+    out = jnp.einsum(
+        "knm,mkd->nkd", coefs, fts, preferred_element_type=jnp.float32
+    ).astype(fts.dtype)
+    if return_coefs:
+        return out, raw_coefs
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ell — gather over fixed-fanout neighbor lists, O(N*F)
+# ---------------------------------------------------------------------------
+
+
+def ell_attention(
+    graph: EllGraph,
+    fts: jax.Array,  # (N, K, D)
+    logit_dst: jax.Array,  # (N, K)
+    logit_src: jax.Array,  # (N, K)
+    *,
+    slope: float = 0.2,
+    coef_dropout: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+):
+    n, k, d = fts.shape
+    nbr = graph.nbr  # (N, F) with sentinel n
+    valid = graph.nbr_mask  # (N, F)
+    # pad a zero row at sentinel index n
+    fts_pad = jnp.concatenate([fts, jnp.zeros((1, k, d), fts.dtype)], axis=0)
+    ls_pad = jnp.concatenate([logit_src, jnp.zeros((1, k), logit_src.dtype)], axis=0)
+
+    g_ls = ls_pad[nbr]  # (N, F, K)
+    logits = leaky_relu(logit_dst[:, None, :] + g_ls, slope)
+    logits = jnp.where(valid[:, :, None], logits, MASK_VALUE)
+    # stable softmax over F; fully-padded rows produce exactly 0 output
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.where(valid[:, :, None], jnp.exp(logits - m), 0.0)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    coefs = e / jnp.maximum(denom, 1e-30)  # (N, F, K)
+    if coef_dropout > 0.0:
+        keep = 1.0 - coef_dropout
+        mask = jax.random.bernoulli(dropout_rng, keep, coefs.shape)
+        coefs = jnp.where(mask, coefs / keep, 0.0)
+    g_fts = fts_pad[nbr]  # (N, F, K, D)
+    out = jnp.einsum(
+        "nfk,nfkd->nkd", coefs, g_fts, preferred_element_type=jnp.float32
+    ).astype(fts.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# csr — edge/segment domain (SDDMM → segment softmax → SpMM), O(E)
+# ---------------------------------------------------------------------------
+
+
+def sddmm_edge_logits(
+    graph: CSRGraph, logit_dst: jax.Array, logit_src: jax.Array, *, slope: float = 0.2
+) -> jax.Array:
+    """Edge logits l_e = leaky_relu(logit_dst[row_e] + logit_src[col_e]).
+
+    Returns (E_pad, K); padding edges get MASK_VALUE.
+    """
+    k = logit_dst.shape[1]
+    ld_pad = jnp.concatenate([logit_dst, jnp.zeros((1, k), logit_dst.dtype)], axis=0)
+    ls_pad = jnp.concatenate([logit_src, jnp.zeros((1, k), logit_src.dtype)], axis=0)
+    le = leaky_relu(ld_pad[graph.row_idx] + ls_pad[graph.col_idx], slope)
+    return jnp.where(graph.edge_mask[:, None], le, MASK_VALUE)
+
+
+def segment_softmax(graph: CSRGraph, edge_logits: jax.Array) -> jax.Array:
+    """Numerically-stable softmax over each destination row's edges.
+
+    edge_logits: (E_pad, K) → coefs (E_pad, K); padded edges → 0; rows with
+    no edges produce no contribution anywhere.
+    """
+    n_seg = graph.n_nodes + 1  # sentinel row collects padding
+    rows = graph.row_idx
+    seg_max = jax.ops.segment_max(
+        edge_logits, rows, num_segments=n_seg, indices_are_sorted=True
+    )
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    e = jnp.exp(edge_logits - seg_max[rows])
+    e = jnp.where(graph.edge_mask[:, None], e, 0.0)
+    seg_sum = jax.ops.segment_sum(e, rows, num_segments=n_seg, indices_are_sorted=True)
+    return e / jnp.maximum(seg_sum[rows], 1e-30)
+
+
+def spmm_aggregate(graph: CSRGraph, coefs: jax.Array, fts: jax.Array) -> jax.Array:
+    """out[i] = sum over edges e with row_e == i of coefs[e] * fts[col_e].
+
+    coefs: (E_pad, K); fts: (N, K, D) → out (N, K, D).
+    """
+    n, k, d = fts.shape
+    fts_pad = jnp.concatenate([fts, jnp.zeros((1, k, d), fts.dtype)], axis=0)
+    vals = coefs[:, :, None] * fts_pad[graph.col_idx]  # (E_pad, K, D)
+    out = jax.ops.segment_sum(
+        vals, graph.row_idx, num_segments=n + 1, indices_are_sorted=True
+    )
+    return out[:n].astype(fts.dtype)
+
+
+def csr_attention(
+    graph: CSRGraph,
+    fts: jax.Array,
+    logit_dst: jax.Array,
+    logit_src: jax.Array,
+    *,
+    slope: float = 0.2,
+    coef_dropout: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+):
+    le = sddmm_edge_logits(graph, logit_dst, logit_src, slope=slope)
+    coefs = segment_softmax(graph, le)
+    if coef_dropout > 0.0:
+        keep = 1.0 - coef_dropout
+        mask = jax.random.bernoulli(dropout_rng, keep, coefs.shape)
+        coefs = jnp.where(mask, coefs / keep, 0.0)
+    return spmm_aggregate(graph, coefs, fts)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def attention_aggregate(
+    graph,
+    fts: jax.Array,
+    logit_dst: jax.Array,
+    logit_src: jax.Array,
+    *,
+    slope: float = 0.2,
+    coef_dropout: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    impl: Impl = "auto",
+    return_coefs: bool = False,
+):
+    """Dispatch on graph container type / requested implementation."""
+    if type(graph).__name__ == "PartitionedCSR":
+        from han_tpu.parallel.shard_attn import partitioned_attention
+
+        if return_coefs:
+            raise NotImplementedError("return_coefs unsupported on PartitionedCSR")
+        return partitioned_attention(
+            graph, fts, logit_dst, logit_src, slope=slope,
+            coef_dropout=coef_dropout, dropout_rng=dropout_rng,
+        )
+    if impl == "auto":
+        if isinstance(graph, DenseGraph):
+            impl = "dense"
+        elif isinstance(graph, EllGraph):
+            impl = "ell"
+        elif isinstance(graph, CSRGraph):
+            impl = "csr"
+        else:
+            raise TypeError(f"unknown graph container {type(graph)}")
+    if impl == "dense":
+        return dense_attention(
+            graph, fts, logit_dst, logit_src, slope=slope,
+            coef_dropout=coef_dropout, dropout_rng=dropout_rng,
+            return_coefs=return_coefs,
+        )
+    if return_coefs:
+        raise NotImplementedError("return_coefs only supported by the dense impl")
+    if impl == "ell":
+        return ell_attention(
+            graph, fts, logit_dst, logit_src, slope=slope,
+            coef_dropout=coef_dropout, dropout_rng=dropout_rng,
+        )
+    if impl == "csr":
+        return csr_attention(
+            graph, fts, logit_dst, logit_src, slope=slope,
+            coef_dropout=coef_dropout, dropout_rng=dropout_rng,
+        )
+    if impl == "flash":
+        from han_tpu.ops.pallas.flash_gat import flash_gat_attention
+
+        return flash_gat_attention(
+            graph, fts, logit_dst, logit_src, slope=slope,
+            coef_dropout=coef_dropout, dropout_rng=dropout_rng,
+        )
+    raise ValueError(f"unknown impl {impl!r}")

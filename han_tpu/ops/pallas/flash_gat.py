@@ -1,0 +1,342 @@
+"""Fused flash-GAT Pallas kernel: SDDMM + masked softmax + aggregation in
+one pass over adjacency tiles.
+
+The reference computes dense (N, N) attention per head and materializes the
+full coefficient matrix (utils/layers.py:26-34). This kernel never
+materializes it: for each row-block it sweeps column blocks with an
+online-softmax accumulator (running max m, running sum l, output acc) per
+head — the flash-attention recurrence with the graph adjacency as mask:
+
+    z_ij  = leaky_relu(ld_i + ls_j)        # SDDMM on the fly
+    masked: z_ij = -1e9 off-edges          # == reference bias add
+    out_i = sum_j softmax_j(z_ij) * v_j    # MXU per column tile
+
+Numerics match the XLA dense path: masked entries underflow to exactly 0
+once any real edge sets the row max; rows with no edges at all finalize to 0
+(the sparse spec — tests/test_ops_parity.py).
+
+Performance notes (measured on TPU v5e through this design):
+
+- ALL heads are processed inside one kernel invocation (static loop), so
+  the O(N²) adjacency tile — the dominant HBM term — is read ONCE per
+  (i, j) block instead of K times, as int8 (4× less HBM than f32),
+  upcast in-register.
+- Features keep their natural (N, K, D) shape; rank-3 blocks (bn, K, D)
+  have full trailing dims, which the TPU block-shape rules allow, so no
+  lane padding is materialized in HBM.
+- Per-head running max / sum / lse live in (K_pad, bm) scratch (K padded
+  to the sublane multiple 8).
+- The XLA dense path is a strong baseline on TPU (XLA rematerializes the
+  broadcast logits inside each softmax fusion and never stores them); the
+  win here comes from the int8 single-read adjacency stream and fusing
+  the aggregation matmul into the same pass.
+
+Backward = two more Pallas kernels (row-sweep for d_logit_dst, col-sweep
+for d_logit_src/dv) with the same layouts, wired through jax.custom_vjp
+(derivation in the comment above _head_dz).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from han_tpu.graph.containers import DenseGraph, MASK_VALUE
+
+DEF_BM = 512
+DEF_BN = 512
+_NEG_INIT = -1e9  # same magnitude as the mask (finite on purpose; see above)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fwd_kernel(adj_ref, ld_ref, ls_ref, v_ref, out_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *, slope: float, n_j: int, k: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INIT)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    on_edge = adj_ref[:].astype(jnp.float32) > 0.0  # int8 → f32 once
+
+    for h in range(k):  # static unroll; adjacency reused across heads
+        ld = ld_ref[h, :]  # (BM,)
+        ls = ls_ref[h, :]  # (BN,)
+        raw = ld[:, None] + ls[None, :]  # (BM, BN)
+        z = jnp.where(raw >= 0, raw, slope * raw)
+        z = jnp.where(on_edge, z, MASK_VALUE)
+
+        m_prev = m_ref[h, :]
+        m_new = jnp.maximum(m_prev, jnp.max(z, axis=1))
+        scale = jnp.exp(m_prev - m_new)  # flushes pre-edge junk to 0
+        p = jnp.exp(z - m_new[:, None])  # masked entries underflow to 0
+        l_new = l_ref[h, :] * scale + jnp.sum(p, axis=1)
+        pv = jnp.dot(p, v_ref[:, h, :],
+                     preferred_element_type=jnp.float32)  # (BM, D)
+        acc_ref[:, h, :] = acc_ref[:, h, :] * scale[:, None] + pv
+        m_ref[h, :] = m_new
+        l_ref[h, :] = l_new
+
+    @pl.when(j == n_j - 1)
+    def _finalize():
+        for h in range(k):
+            l = l_ref[h, :]
+            m = m_ref[h, :]
+            has_edge = m > (_NEG_INIT * 0.5)  # any real edge in this row
+            inv = jnp.where(has_edge, 1.0 / jnp.maximum(l, 1e-30), 0.0)
+            out_ref[:, h, :] = acc_ref[:, h, :] * inv[:, None]
+            lse_ref[h, :] = jnp.where(
+                has_edge, m + jnp.log(jnp.maximum(l, 1e-30)), _NEG_INIT)
+
+
+def _flash_fwd(adj_i8, ld, ls, v, *, slope: float, bm: int, bn: int,
+               interpret: bool):
+    """adj_i8 (Np, Np) int8; ld/ls (Kp, Np); v (Np, K, D) →
+    out (Np, K, D), lse (Kp, Np)."""
+    n, k, d = v.shape
+    kp = ld.shape[0]
+    n_i, n_j = n // bm, n // bn
+    kernel = functools.partial(_fwd_kernel, slope=slope, n_j=n_j, k=k)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+            pl.BlockSpec((kp, bm), lambda i, j: (0, i)),
+            pl.BlockSpec((kp, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((bn, k, d), lambda i, j: (j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, k, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((kp, bm), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k, d), jnp.float32),
+            jax.ShapeDtypeStruct((kp, n), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bm, k, d), jnp.float32),
+            pltpu.VMEM((kp, bm), jnp.float32),
+            pltpu.VMEM((kp, bm), jnp.float32),
+        ],
+        interpret=interpret,
+    )(adj_i8, ld, ls, v)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+# With c_ij = exp(z_ij - lse_i) and delta_i = g_i · out_i (per head):
+#   dz_ij  = c_ij * ((g_i · v_j) - delta_i)
+#   dld_i  = sum_j dz_ij * lrelu'(raw_ij)     (row-sweep kernel)
+#   dls_j  = sum_i dz_ij * lrelu'(raw_ij)     (col-sweep kernel)
+#   dv_j   = sum_i c_ij * g_i                 (col-sweep kernel)
+
+
+def _head_dz(on_edge, ld, ls, lse, delta, g_h, v_h, slope):
+    raw = ld[:, None] + ls[None, :]
+    z = jnp.where(raw >= 0, raw, slope * raw)
+    z = jnp.where(on_edge, z, MASK_VALUE)
+    c = jnp.exp(z - lse[:, None])
+    c = jnp.where(on_edge, c, 0.0)  # rows with no edges: lse=-1e9 → exp(0)=1
+    gv = jax.lax.dot_general(
+        g_h, v_h, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (BM, BN)
+    dz = c * (gv - delta[:, None])
+    dslope = jnp.where(raw >= 0, 1.0, slope)
+    return c, dz * dslope
+
+
+def _bwd_row_kernel(adj_ref, ld_ref, ls_ref, v_ref, g_ref, lse_ref, delta_ref,
+                    dld_ref, acc_ref, *, slope: float, n_j: int, k: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    on_edge = adj_ref[:].astype(jnp.float32) > 0.0
+    for h in range(k):
+        _, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, :], lse_ref[h, :],
+                          delta_ref[h, :], g_ref[:, h, :], v_ref[:, h, :],
+                          slope)
+        acc_ref[h, :] += jnp.sum(dzs, axis=1)
+
+    @pl.when(j == n_j - 1)
+    def _fin():
+        dld_ref[:] = acc_ref[:]
+
+
+def _bwd_col_kernel(adj_ref, ld_ref, ls_ref, v_ref, g_ref, lse_ref, delta_ref,
+                    dls_ref, dv_ref, dls_acc, dv_acc, *, slope: float,
+                    n_i: int, k: int):
+    i = pl.program_id(1)  # row sweep is innermost here
+
+    @pl.when(i == 0)
+    def _init():
+        dls_acc[:] = jnp.zeros_like(dls_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    on_edge = adj_ref[:].astype(jnp.float32) > 0.0
+    for h in range(k):
+        c, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, :], lse_ref[h, :],
+                          delta_ref[h, :], g_ref[:, h, :], v_ref[:, h, :],
+                          slope)
+        dls_acc[h, :] += jnp.sum(dzs, axis=0)
+        dv_acc[:, h, :] += jax.lax.dot_general(  # c^T (BN,BM) · g (BM,D)
+            c, g_ref[:, h, :], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(i == n_i - 1)
+    def _fin():
+        dls_ref[:] = dls_acc[:]
+        dv_ref[:] = dv_acc[:]
+
+
+def _flash_bwd(adj_i8, ld, ls, v, g, lse, delta, *, slope: float, bm: int,
+               bn: int, interpret: bool):
+    n, k, d = v.shape
+    kp = ld.shape[0]
+    n_i, n_j = n // bm, n // bn
+
+    dld = pl.pallas_call(
+        functools.partial(_bwd_row_kernel, slope=slope, n_j=n_j, k=k),
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+            pl.BlockSpec((kp, bm), lambda i, j: (0, i)),
+            pl.BlockSpec((kp, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((bn, k, d), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((bm, k, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((kp, bm), lambda i, j: (0, i)),
+            pl.BlockSpec((kp, bm), lambda i, j: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((kp, bm), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((kp, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((kp, bm), jnp.float32)],
+        interpret=interpret,
+    )(adj_i8, ld, ls, v, g, lse, delta)
+
+    dls, dv = pl.pallas_call(
+        functools.partial(_bwd_col_kernel, slope=slope, n_i=n_i, k=k),
+        grid=(n_j, n_i),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda j, i: (i, j)),
+            pl.BlockSpec((kp, bm), lambda j, i: (0, i)),
+            pl.BlockSpec((kp, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((bn, k, d), lambda j, i: (j, 0, 0)),
+            pl.BlockSpec((bm, k, d), lambda j, i: (i, 0, 0)),
+            pl.BlockSpec((kp, bm), lambda j, i: (0, i)),
+            pl.BlockSpec((kp, bm), lambda j, i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((kp, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((bn, k, d), lambda j, i: (j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((kp, n), jnp.float32),
+            jax.ShapeDtypeStruct((n, k, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kp, bn), jnp.float32),
+            pltpu.VMEM((bn, k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(adj_i8, ld, ls, v, g, lse, delta)
+    return dld, dls, dv
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_core(adj_i8, ld, ls, v, slope, bm, bn, interpret):
+    out, _ = _flash_fwd(adj_i8, ld, ls, v, slope=slope, bm=bm, bn=bn,
+                        interpret=interpret)
+    return out
+
+
+def _flash_core_fwd(adj_i8, ld, ls, v, slope, bm, bn, interpret):
+    out, lse = _flash_fwd(adj_i8, ld, ls, v, slope=slope, bm=bm, bn=bn,
+                          interpret=interpret)
+    return out, (adj_i8, ld, ls, v, out, lse)
+
+
+def _flash_core_bwd(slope, bm, bn, interpret, res, g):
+    import numpy as np
+
+    adj_i8, ld, ls, v, out, lse = res
+    kp = ld.shape[0]
+    n, k, _ = v.shape
+    delta = jnp.zeros((kp, n), jnp.float32).at[:k].set(
+        jnp.sum(g * out, axis=-1).T)  # per-head delta_i = g_i · out_i
+    dld, dls, dv = _flash_bwd(adj_i8, ld, ls, v, g, lse, delta, slope=slope,
+                              bm=bm, bn=bn, interpret=interpret)
+    d_adj = np.zeros(adj_i8.shape, dtype=jax.dtypes.float0)
+    return d_adj, dld, dls, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def flash_gat_attention(
+    graph: DenseGraph | Any,
+    fts: jax.Array,       # (N, K, D)
+    logit_dst: jax.Array,  # (N, K)
+    logit_src: jax.Array,  # (N, K)
+    *,
+    slope: float = 0.2,
+    coef_dropout: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    block_m: int = DEF_BM,
+    block_n: int = DEF_BN,
+    interpret: bool | None = None,
+):
+    """Drop-in implementation for ops.attention.attention_aggregate.
+
+    Dropout on attention coefficients is not fused yet; training steps that
+    need attn_drop route through the XLA paths (dispatchers do this
+    automatically via impl='auto').
+    """
+    if coef_dropout > 0.0:
+        raise NotImplementedError(
+            "flash impl does not fuse coefficient dropout yet; use "
+            "impl='dense'/'csr' for training with attn_drop > 0")
+    if interpret is None:
+        interpret = _default_interpret()
+    if not isinstance(graph, DenseGraph):
+        raise TypeError("flash impl needs a DenseGraph (dense-block regime)")
+
+    n, k, d = fts.shape
+    bm = min(block_m, _round_up(n, 128))
+    bn = min(block_n, _round_up(n, 128))
+    n_pad = _round_up(n, max(bm, bn))
+    kp = _round_up(k, 8)  # sublane padding for per-head vectors
+
+    adj_i8 = jnp.pad(graph.adj.astype(jnp.int8),
+                     ((0, n_pad - n), (0, n_pad - n)))
+    v = jnp.pad(fts.astype(jnp.float32), ((0, n_pad - n), (0, 0), (0, 0)))
+    ld = jnp.pad(logit_dst.astype(jnp.float32).T,
+                 ((0, kp - k), (0, n_pad - n)))
+    ls = jnp.pad(logit_src.astype(jnp.float32).T,
+                 ((0, kp - k), (0, n_pad - n)))
+
+    out = _flash_core(adj_i8, ld, ls, v, slope, bm, bn, interpret)
+    return out[:n].astype(fts.dtype)

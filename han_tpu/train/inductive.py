@@ -1,0 +1,137 @@
+"""Inductive multi-graph trainer (PPI-style): GAT over padded graph batches
+with multi-label sigmoid loss and micro-F1 (reference base_gattn.py:50-59,
+71-94; batching semantics from utils/process_ppi.py).
+
+Data parallelism: the graph batch axis is sharded over the mesh 'graph'
+axis with NamedSharding; parameters stay replicated and XLA psums the
+gradients — the DP row of SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from han_tpu.datasets.ppi import MultiGraphDataset
+from han_tpu.graph.containers import DenseGraph
+from han_tpu.nn.losses import l2_regularizer, masked_sigmoid_cross_entropy, micro_f1
+from han_tpu.nn.models import GAT
+from han_tpu.parallel.mesh import GRAPH_AXIS
+
+
+class InductiveTrainer:
+    def __init__(self, ds: MultiGraphDataset, *, hid_units=(256, 256),
+                 n_heads=(4, 4, 6), lr=0.005, l2_coef=0.0, residual=True,
+                 batch_size: int = 2, mesh=None, seed: int = 0):
+        self.ds = ds
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self.l2_coef = l2_coef
+        n_labels = ds.labels.shape[-1]
+        self.model = GAT(n_classes=n_labels, hid_units=hid_units,
+                         n_heads=n_heads, residual=residual, impl="dense")
+        self.tx = optax.adam(lr)
+        n_max = ds.adj.shape[1]
+        adj0 = DenseGraph(adj=jnp.asarray(ds.adj[0]), n_nodes=n_max)
+        self.params = self.model.init(
+            jax.random.PRNGKey(seed), adj0, jnp.asarray(ds.features[0]))
+        self.opt_state = self.tx.init(self.params)
+        self._build()
+
+    def _build(self):
+        n_max = self.ds.adj.shape[1]
+
+        def batched_apply(params, adj_b, x_b):
+            def one(adj, x):
+                g = DenseGraph(adj=adj, n_nodes=n_max)
+                return self.model.apply(params, g, x)
+            return jax.vmap(one)(adj_b, x_b)
+
+        def loss_fn(params, adj_b, x_b, y_b, m_b):
+            logits = batched_apply(params, adj_b, x_b)  # (B, N, C)
+            per_graph = jax.vmap(masked_sigmoid_cross_entropy)(logits, y_b, m_b)
+            return jnp.mean(per_graph) + l2_regularizer(params, self.l2_coef), logits
+
+        def train_step(params, opt_state, adj_b, x_b, y_b, m_b):
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, adj_b, x_b, y_b, m_b)
+            updates, opt_state = self.tx.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, logits
+
+        def eval_step(params, adj_b, x_b, y_b, m_b):
+            logits = batched_apply(params, adj_b, x_b)
+            per_graph = jax.vmap(masked_sigmoid_cross_entropy)(logits, y_b, m_b)
+            return jnp.mean(per_graph), logits
+
+        if self.mesh is not None:
+            batch_sharding = NamedSharding(self.mesh, P(GRAPH_AXIS))
+            self.train_step = jax.jit(
+                train_step,
+                in_shardings=(None, None) + (batch_sharding,) * 4)
+            self.eval_step = jax.jit(
+                eval_step, in_shardings=(None,) + (batch_sharding,) * 4)
+        else:
+            self.train_step = jax.jit(train_step)
+            self.eval_step = jax.jit(eval_step)
+
+    def _batches(self, which: str, rng: np.random.Generator | None = None):
+        adj, fts, lab, mask = self.ds.split(which)
+        idx = np.arange(adj.shape[0])
+        if rng is not None:
+            rng.shuffle(idx)
+        b = self.batch_size
+        # drop nothing: pad the final batch by repeating (masked out in loss
+        # only via node masks; repeated graphs slightly overweight — pad with
+        # zero-node graphs instead to stay exact)
+        for s in range(0, len(idx), b):
+            sel = idx[s:s + b]
+            if len(sel) < b:
+                pad = b - len(sel)
+                yield (
+                    np.concatenate([adj[sel], np.zeros((pad,) + adj.shape[1:], adj.dtype)]),
+                    np.concatenate([fts[sel], np.zeros((pad,) + fts.shape[1:], fts.dtype)]),
+                    np.concatenate([lab[sel], np.zeros((pad,) + lab.shape[1:], lab.dtype)]),
+                    np.concatenate([mask[sel], np.zeros((pad,) + mask.shape[1:], mask.dtype)]),
+                )
+            else:
+                yield adj[sel], fts[sel], lab[sel], mask[sel]
+
+    def fit(self, epochs: int = 20, *, log=print) -> dict[str, Any]:
+        rng = np.random.default_rng(0)
+        history = []
+        for epoch in range(epochs):
+            t0 = time.time()
+            losses = []
+            for adj_b, x_b, y_b, m_b in self._batches("train", rng):
+                self.params, self.opt_state, loss, _ = self.train_step(
+                    self.params, self.opt_state,
+                    jnp.asarray(adj_b), jnp.asarray(x_b),
+                    jnp.asarray(y_b), jnp.asarray(m_b))
+                losses.append(float(loss))
+            val = self.evaluate("val")
+            history.append({"epoch": epoch, "train_loss": float(np.mean(losses)),
+                            **{f"val_{k}": v for k, v in val.items()},
+                            "time_s": round(time.time() - t0, 3)})
+            log(history[-1])
+        test = self.evaluate("test")
+        return {"history": history, **{f"test_{k}": v for k, v in test.items()}}
+
+    def evaluate(self, which: str) -> dict[str, float]:
+        losses, f1s = [], []
+        for adj_b, x_b, y_b, m_b in self._batches(which):
+            loss, logits = self.eval_step(
+                self.params, jnp.asarray(adj_b), jnp.asarray(x_b),
+                jnp.asarray(y_b), jnp.asarray(m_b))
+            losses.append(float(loss))
+            f1s.append(float(micro_f1(
+                logits.reshape(-1, logits.shape[-1]),
+                jnp.asarray(y_b).reshape(-1, y_b.shape[-1]),
+                jnp.asarray(m_b).reshape(-1))))
+        return {"loss": float(np.mean(losses)), "micro_f1": float(np.mean(f1s))}
