@@ -54,6 +54,8 @@ def main(argv=None):
     p.add_argument("--avg-degree", type=float, default=128.0)
     p.add_argument("--metapaths", type=int, default=2)
     p.add_argument("--impl", default="flash")
+    p.add_argument("--reorder", default="bfs",
+                   help="node ordering for tile locality: bfs|labels|degree|none")
     p.add_argument("--iters", type=int, default=20)
     args = p.parse_args(argv)
 
@@ -70,6 +72,10 @@ def main(argv=None):
     ds = planted_hetero(
         n_nodes=args.n, n_feats=64, n_classes=3, n_metapaths=args.metapaths,
         avg_degree=args.avg_degree, train_per_class=100, n_val=100, seed=0)
+    if args.reorder != "none":
+        from han_tpu.graph.reorder import reorder
+
+        ds = reorder(ds, args.reorder)
 
     dense_graphs = [metapath_to_dense(a) for a in ds.metapath_adjs]
     csr_graphs = [metapath_to_csr(a) for a in ds.metapath_adjs]

@@ -56,38 +56,51 @@ def planted_hetero(
     feat_signal: float = 1.5,
     train_per_class: int = 200,
     n_val: int = 300,
+    n_communities: int | None = None,
+    shuffle_nodes: bool = False,
     seed: int = 0,
     name: str = "synthetic",
 ) -> HeteroDataset:
-    """Planted-partition heterogeneous graph: each meta-path is an SBM whose
-    in-community edge probability dominates, features are a noisy bag-of-words
-    with class-specific active dimensions.
+    """Planted-partition heterogeneous graph with *clustered* cross edges.
+
+    Nodes belong to ``n_communities`` contiguous communities (default
+    4 × n_classes); class = community mod n_classes. A fraction
+    ``homophily`` of each node's edges stay inside its community; the rest
+    go to the two ring-adjacent communities — matching the locality of real
+    meta-path graphs (most cross-community citations/co-authorships touch a
+    few related areas, not uniformly random nodes). With the default
+    contiguous layout the adjacency is block-tridiagonal-ish, which is what
+    the block-sparse flash kernel exploits; ``shuffle_nodes=True`` destroys
+    the layout (for testing reordering recovery, graph/reorder.py).
 
     Defaults mirror the ACM3025 shape (3025 nodes / 1870 feats / 3 classes /
     2 meta-paths / 600-300-2125 split — han.pdf Table 2).
     """
     rng = np.random.default_rng(seed)
-    y = rng.integers(0, n_classes, size=n_nodes)
+    n_comm = n_communities or max(4 * n_classes, 8)
+    comm = (np.arange(n_nodes) * n_comm) // n_nodes  # contiguous communities
+    y = comm % n_classes
+
+    # community member lists for targeted sampling
+    members = [np.where(comm == c)[0] for c in range(n_comm)]
 
     adjs = []
     for p in range(n_metapaths):
         # per-metapath homophily varies a bit so semantic attention has signal
         h = homophily if p == 0 else max(0.55, homophily - 0.2 * p)
-        p_in = avg_degree * h / (n_nodes / n_classes)
-        p_out = avg_degree * (1 - h) / (n_nodes * (n_classes - 1) / n_classes)
-        # sample edges blockwise
-        rows, cols = [], []
-        n_try = int(n_nodes * avg_degree * 2.5)
-        src = rng.integers(0, n_nodes, size=n_try)
-        dst = rng.integers(0, n_nodes, size=n_try)
-        same = y[src] == y[dst]
-        keep_prob = np.where(same, p_in * n_nodes / avg_degree / 2.5, p_out * n_nodes / avg_degree / 2.5)
-        keep = rng.random(n_try) < np.clip(keep_prob, 0, 1)
-        rows.append(src[keep])
-        cols.append(dst[keep])
-        r = np.concatenate(rows)
-        c = np.concatenate(cols)
-        a = sp.coo_matrix((np.ones_like(r, dtype=np.float32), (r, c)), shape=(n_nodes, n_nodes))
+        n_edges = int(n_nodes * avg_degree / 2)
+        src = rng.integers(0, n_nodes, size=n_edges)
+        stay = rng.random(n_edges) < h
+        ring = rng.integers(0, 2, size=n_edges) * 2 - 1  # ±1 neighbor community
+        dst_comm = np.where(stay, comm[src], (comm[src] + ring) % n_comm)
+        # sample a uniform member of the destination community
+        sizes = np.array([m.shape[0] for m in members])
+        offs = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+        flat = np.concatenate(members)
+        dst = flat[offs[dst_comm] + rng.integers(0, 1 << 30, size=n_edges) % sizes[dst_comm]]
+        a = sp.coo_matrix(
+            (np.ones(n_edges, dtype=np.float32), (src, dst)),
+            shape=(n_nodes, n_nodes))
         a = ((a + a.T) > 0).astype(np.float32).tocsr()
         a.setdiag(0)
         a.eliminate_zeros()
@@ -117,6 +130,15 @@ def planted_hetero(
     val_mask[rest[:n_val]] = True
     test_mask = np.zeros(n_nodes, dtype=bool)
     test_mask[rest[n_val:]] = True
+
+    if shuffle_nodes:
+        perm = rng.permutation(n_nodes)
+        adjs = [a.tocsr()[perm][:, perm] for a in adjs]
+        feats = feats[perm]
+        labels = labels[perm]
+        train_mask = train_mask[perm]
+        val_mask = val_mask[perm]
+        test_mask = test_mask[perm]
 
     return HeteroDataset(
         metapath_adjs=adjs,

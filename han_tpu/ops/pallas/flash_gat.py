@@ -1,39 +1,41 @@
-"""Fused flash-GAT Pallas kernel: SDDMM + masked softmax + aggregation in
-one pass over adjacency tiles.
+"""Fused block-sparse flash-GAT Pallas kernel: SDDMM + masked softmax +
+aggregation in one pass over nonempty adjacency tiles.
 
 The reference computes dense (N, N) attention per head and materializes the
 full coefficient matrix (utils/layers.py:26-34). This kernel never
-materializes it: for each row-block it sweeps column blocks with an
-online-softmax accumulator (running max m, running sum l, output acc) per
-head — the flash-attention recurrence with the graph adjacency as mask:
+materializes it: for each row-block it sweeps the *nonempty* column blocks
+with an online-softmax accumulator (running max m, running sum l, output
+acc) per head — the flash-attention recurrence with the graph adjacency as
+mask:
 
     z_ij  = leaky_relu(ld_i + ls_j)        # SDDMM on the fly
     masked: z_ij = -1e9 off-edges          # == reference bias add
     out_i = sum_j softmax_j(z_ij) * v_j    # MXU per column tile
 
 Numerics match the XLA dense path: masked entries underflow to exactly 0
-once any real edge sets the row max; rows with no edges at all finalize to 0
-(the sparse spec — tests/test_ops_parity.py).
+once any real edge sets the row max; rows with no edges at all finalize to
+0 (the sparse spec — tests/test_ops_parity.py).
 
-Performance notes (measured on TPU v5e through this design):
+Performance design (measured on TPU v5e):
 
-- ALL heads are processed inside one kernel invocation (static loop), so
+- **Block sparsity.** A per-call block map (counts[i], cols[i, :]) lists
+  each row-block's nonempty column tiles, scalar-prefetched so the DMA
+  index map can follow it (pltpu.PrefetchScalarGridSpec). Skipped steps
+  map to the previous tile (no DMA) and predicate away all compute, so
+  cost scales with *occupied* tiles — on community-ordered meta-path
+  graphs (graph/reorder.py) that is a small fraction of N²/bm·bn. The
+  dense XLA softmax path cannot skip anything.
+- **Heads fused.** All K heads run inside one invocation (static loop), so
   the O(N²) adjacency tile — the dominant HBM term — is read ONCE per
-  (i, j) block instead of K times, as int8 (4× less HBM than f32),
-  upcast in-register.
-- Features keep their natural (N, K, D) shape; rank-3 blocks (bn, K, D)
-  have full trailing dims, which the TPU block-shape rules allow, so no
-  lane padding is materialized in HBM.
-- Per-head running max / sum / lse live in (K_pad, bm) scratch (K padded
-  to the sublane multiple 8).
-- The XLA dense path is a strong baseline on TPU (XLA rematerializes the
-  broadcast logits inside each softmax fusion and never stores them); the
-  win here comes from the int8 single-read adjacency stream and fusing
-  the aggregation matmul into the same pass.
+  tile instead of K times, as int8 (4× less HBM than f32), upcast
+  in-register.
+- **Natural layouts.** Features keep (N, K, D); rank-3 blocks (bn, K, D)
+  have full trailing dims (legal per TPU block rules), so no lane padding
+  is materialized in HBM. Per-head m/l/lse live in (K_pad, bm) scratch.
 
 Backward = two more Pallas kernels (row-sweep for d_logit_dst, col-sweep
-for d_logit_src/dv) with the same layouts, wired through jax.custom_vjp
-(derivation in the comment above _head_dz).
+for d_logit_src/dv, driven by the transposed block map) with the same
+layouts, wired through jax.custom_vjp (derivation above _head_dz).
 """
 
 from __future__ import annotations
@@ -57,8 +59,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fwd_kernel(adj_ref, ld_ref, ls_ref, v_ref, out_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, slope: float, n_j: int, k: int):
+def _block_map(bmask: jax.Array):
+    """bool (nb_r, nb_c) tile-occupancy → (counts int32 (nb_r,),
+    cols int32 (nb_r, nb_c)): active tile indices first (ascending),
+    inactive steps repeat the last active tile so their DMA is a no-op."""
+    nb_r, nb_c = bmask.shape
+    order = jnp.argsort(jnp.logical_not(bmask), axis=1, stable=True)
+    order = order.astype(jnp.int32)
+    counts = jnp.sum(bmask, axis=1).astype(jnp.int32)
+    last = jnp.take_along_axis(
+        order, jnp.maximum(counts - 1, 0)[:, None], axis=1)
+    j_idx = jnp.arange(nb_c, dtype=jnp.int32)[None, :]
+    cols = jnp.where(j_idx < counts[:, None], order, last)
+    return counts, cols
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(counts_ref, cols_ref, adj_ref, ld_ref, ls_ref, v_ref,
+                out_ref, lse_ref, acc_ref, m_ref, l_ref, *, slope: float,
+                n_j: int, k: int):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -67,25 +91,27 @@ def _fwd_kernel(adj_ref, ld_ref, ls_ref, v_ref, out_ref, lse_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INIT)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    on_edge = adj_ref[:].astype(jnp.float32) > 0.0  # int8 → f32 once
+    @pl.when(j < counts_ref[i])
+    def _compute():
+        on_edge = adj_ref[:].astype(jnp.float32) > 0.0  # int8 → f32 once
 
-    for h in range(k):  # static unroll; adjacency reused across heads
-        ld = ld_ref[h, :]  # (BM,)
-        ls = ls_ref[h, :]  # (BN,)
-        raw = ld[:, None] + ls[None, :]  # (BM, BN)
-        z = jnp.where(raw >= 0, raw, slope * raw)
-        z = jnp.where(on_edge, z, MASK_VALUE)
+        for h in range(k):  # static unroll; adjacency reused across heads
+            ld = ld_ref[h, :]  # (BM,)
+            ls = ls_ref[h, :]  # (BN,)
+            raw = ld[:, None] + ls[None, :]  # (BM, BN)
+            z = jnp.where(raw >= 0, raw, slope * raw)
+            z = jnp.where(on_edge, z, MASK_VALUE)
 
-        m_prev = m_ref[h, :]
-        m_new = jnp.maximum(m_prev, jnp.max(z, axis=1))
-        scale = jnp.exp(m_prev - m_new)  # flushes pre-edge junk to 0
-        p = jnp.exp(z - m_new[:, None])  # masked entries underflow to 0
-        l_new = l_ref[h, :] * scale + jnp.sum(p, axis=1)
-        pv = jnp.dot(p, v_ref[:, h, :],
-                     preferred_element_type=jnp.float32)  # (BM, D)
-        acc_ref[:, h, :] = acc_ref[:, h, :] * scale[:, None] + pv
-        m_ref[h, :] = m_new
-        l_ref[h, :] = l_new
+            m_prev = m_ref[h, :]
+            m_new = jnp.maximum(m_prev, jnp.max(z, axis=1))
+            scale = jnp.exp(m_prev - m_new)  # flushes pre-edge junk to 0
+            p = jnp.exp(z - m_new[:, None])  # masked entries underflow to 0
+            l_new = l_ref[h, :] * scale + jnp.sum(p, axis=1)
+            pv = jnp.dot(p, v_ref[:, h, :],
+                         preferred_element_type=jnp.float32)  # (BM, D)
+            acc_ref[:, h, :] = acc_ref[:, h, :] * scale[:, None] + pv
+            m_ref[h, :] = m_new
+            l_ref[h, :] = l_new
 
     @pl.when(j == n_j - 1)
     def _finalize():
@@ -99,38 +125,42 @@ def _fwd_kernel(adj_ref, ld_ref, ls_ref, v_ref, out_ref, lse_ref,
                 has_edge, m + jnp.log(jnp.maximum(l, 1e-30)), _NEG_INIT)
 
 
-def _flash_fwd(adj_i8, ld, ls, v, *, slope: float, bm: int, bn: int,
-               interpret: bool):
+def _flash_fwd(counts, cols, adj_i8, ld, ls, v, *, slope: float, bm: int,
+               bn: int, interpret: bool):
     """adj_i8 (Np, Np) int8; ld/ls (Kp, Np); v (Np, K, D) →
-    out (Np, K, D), lse (Kp, Np)."""
+    out (Np, K, D), lse (Kp, Np). counts/cols: forward block map."""
     n, k, d = v.shape
     kp = ld.shape[0]
     n_i, n_j = n // bm, n // bn
     kernel = functools.partial(_fwd_kernel, slope=slope, n_j=n_j, k=k)
-    out, lse = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(n_i, n_j),
         in_specs=[
-            pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
-            pl.BlockSpec((kp, bm), lambda i, j: (0, i)),
-            pl.BlockSpec((kp, bn), lambda i, j: (0, j)),
-            pl.BlockSpec((bn, k, d), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((bm, bn), lambda i, j, cnt, cols: (i, cols[i, j])),
+            pl.BlockSpec((kp, bm), lambda i, j, cnt, cols: (0, i)),
+            pl.BlockSpec((kp, bn), lambda i, j, cnt, cols: (0, cols[i, j])),
+            pl.BlockSpec((bn, k, d), lambda i, j, cnt, cols: (cols[i, j], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((bm, k, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((kp, bm), lambda i, j: (0, i)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, k, d), jnp.float32),
-            jax.ShapeDtypeStruct((kp, n), jnp.float32),
+            pl.BlockSpec((bm, k, d), lambda i, j, cnt, cols: (i, 0, 0)),
+            pl.BlockSpec((kp, bm), lambda i, j, cnt, cols: (0, i)),
         ],
         scratch_shapes=[
             pltpu.VMEM((bm, k, d), jnp.float32),
             pltpu.VMEM((kp, bm), jnp.float32),
             pltpu.VMEM((kp, bm), jnp.float32),
         ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k, d), jnp.float32),
+            jax.ShapeDtypeStruct((kp, n), jnp.float32),
+        ],
         interpret=interpret,
-    )(adj_i8, ld, ls, v)
+    )(counts, cols, adj_i8, ld, ls, v)
     return out, lse
 
 
@@ -158,102 +188,115 @@ def _head_dz(on_edge, ld, ls, lse, delta, g_h, v_h, slope):
     return c, dz * dslope
 
 
-def _bwd_row_kernel(adj_ref, ld_ref, ls_ref, v_ref, g_ref, lse_ref, delta_ref,
-                    dld_ref, acc_ref, *, slope: float, n_j: int, k: int):
+def _bwd_row_kernel(counts_ref, cols_ref, adj_ref, ld_ref, ls_ref, v_ref,
+                    g_ref, lse_ref, delta_ref, dld_ref, acc_ref, *,
+                    slope: float, n_j: int, k: int):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    on_edge = adj_ref[:].astype(jnp.float32) > 0.0
-    for h in range(k):
-        _, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, :], lse_ref[h, :],
-                          delta_ref[h, :], g_ref[:, h, :], v_ref[:, h, :],
-                          slope)
-        acc_ref[h, :] += jnp.sum(dzs, axis=1)
+    @pl.when(j < counts_ref[i])
+    def _compute():
+        on_edge = adj_ref[:].astype(jnp.float32) > 0.0
+        for h in range(k):
+            _, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, :],
+                              lse_ref[h, :], delta_ref[h, :], g_ref[:, h, :],
+                              v_ref[:, h, :], slope)
+            acc_ref[h, :] += jnp.sum(dzs, axis=1)
 
     @pl.when(j == n_j - 1)
     def _fin():
         dld_ref[:] = acc_ref[:]
 
 
-def _bwd_col_kernel(adj_ref, ld_ref, ls_ref, v_ref, g_ref, lse_ref, delta_ref,
-                    dls_ref, dv_ref, dls_acc, dv_acc, *, slope: float,
-                    n_i: int, k: int):
-    i = pl.program_id(1)  # row sweep is innermost here
+def _bwd_col_kernel(counts_ref, rows_ref, adj_ref, ld_ref, ls_ref, v_ref,
+                    g_ref, lse_ref, delta_ref, dls_ref, dv_ref, dls_acc,
+                    dv_acc, *, slope: float, n_i: int, k: int):
+    jb = pl.program_id(0)
+    it = pl.program_id(1)  # row sweep is innermost here
 
-    @pl.when(i == 0)
+    @pl.when(it == 0)
     def _init():
         dls_acc[:] = jnp.zeros_like(dls_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    on_edge = adj_ref[:].astype(jnp.float32) > 0.0
-    for h in range(k):
-        c, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, :], lse_ref[h, :],
-                          delta_ref[h, :], g_ref[:, h, :], v_ref[:, h, :],
-                          slope)
-        dls_acc[h, :] += jnp.sum(dzs, axis=0)
-        dv_acc[:, h, :] += jax.lax.dot_general(  # c^T (BN,BM) · g (BM,D)
-            c, g_ref[:, h, :], dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    @pl.when(it < counts_ref[jb])
+    def _compute():
+        on_edge = adj_ref[:].astype(jnp.float32) > 0.0
+        for h in range(k):
+            c, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, :],
+                              lse_ref[h, :], delta_ref[h, :], g_ref[:, h, :],
+                              v_ref[:, h, :], slope)
+            dls_acc[h, :] += jnp.sum(dzs, axis=0)
+            dv_acc[:, h, :] += jax.lax.dot_general(  # c^T (BN,BM) · g (BM,D)
+                c, g_ref[:, h, :], dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-    @pl.when(i == n_i - 1)
+    @pl.when(it == n_i - 1)
     def _fin():
         dls_ref[:] = dls_acc[:]
         dv_ref[:] = dv_acc[:]
 
 
-def _flash_bwd(adj_i8, ld, ls, v, g, lse, delta, *, slope: float, bm: int,
-               bn: int, interpret: bool):
+def _flash_bwd(counts, cols, counts_t, rows_t, adj_i8, ld, ls, v, g, lse,
+               delta, *, slope: float, bm: int, bn: int, interpret: bool):
     n, k, d = v.shape
     kp = ld.shape[0]
     n_i, n_j = n // bm, n // bn
 
     dld = pl.pallas_call(
         functools.partial(_bwd_row_kernel, slope=slope, n_j=n_j, k=k),
-        grid=(n_i, n_j),
-        in_specs=[
-            pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
-            pl.BlockSpec((kp, bm), lambda i, j: (0, i)),
-            pl.BlockSpec((kp, bn), lambda i, j: (0, j)),
-            pl.BlockSpec((bn, k, d), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((bm, k, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((kp, bm), lambda i, j: (0, i)),
-            pl.BlockSpec((kp, bm), lambda i, j: (0, i)),
-        ],
-        out_specs=pl.BlockSpec((kp, bm), lambda i, j: (0, i)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_i, n_j),
+            in_specs=[
+                pl.BlockSpec((bm, bn), lambda i, j, c, m: (i, m[i, j])),
+                pl.BlockSpec((kp, bm), lambda i, j, c, m: (0, i)),
+                pl.BlockSpec((kp, bn), lambda i, j, c, m: (0, m[i, j])),
+                pl.BlockSpec((bn, k, d), lambda i, j, c, m: (m[i, j], 0, 0)),
+                pl.BlockSpec((bm, k, d), lambda i, j, c, m: (i, 0, 0)),
+                pl.BlockSpec((kp, bm), lambda i, j, c, m: (0, i)),
+                pl.BlockSpec((kp, bm), lambda i, j, c, m: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((kp, bm), lambda i, j, c, m: (0, i)),
+            scratch_shapes=[pltpu.VMEM((kp, bm), jnp.float32)],
+        ),
         out_shape=jax.ShapeDtypeStruct((kp, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((kp, bm), jnp.float32)],
         interpret=interpret,
-    )(adj_i8, ld, ls, v, g, lse, delta)
+    )(counts, cols, adj_i8, ld, ls, v, g, lse, delta)
 
     dls, dv = pl.pallas_call(
         functools.partial(_bwd_col_kernel, slope=slope, n_i=n_i, k=k),
-        grid=(n_j, n_i),
-        in_specs=[
-            pl.BlockSpec((bm, bn), lambda j, i: (i, j)),
-            pl.BlockSpec((kp, bm), lambda j, i: (0, i)),
-            pl.BlockSpec((kp, bn), lambda j, i: (0, j)),
-            pl.BlockSpec((bn, k, d), lambda j, i: (j, 0, 0)),
-            pl.BlockSpec((bm, k, d), lambda j, i: (i, 0, 0)),
-            pl.BlockSpec((kp, bm), lambda j, i: (0, i)),
-            pl.BlockSpec((kp, bm), lambda j, i: (0, i)),
-        ],
-        out_specs=[
-            pl.BlockSpec((kp, bn), lambda j, i: (0, j)),
-            pl.BlockSpec((bn, k, d), lambda j, i: (j, 0, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_j, n_i),
+            in_specs=[
+                pl.BlockSpec((bm, bn), lambda jb, it, c, m: (m[jb, it], jb)),
+                pl.BlockSpec((kp, bm), lambda jb, it, c, m: (0, m[jb, it])),
+                pl.BlockSpec((kp, bn), lambda jb, it, c, m: (0, jb)),
+                pl.BlockSpec((bn, k, d), lambda jb, it, c, m: (jb, 0, 0)),
+                pl.BlockSpec((bm, k, d), lambda jb, it, c, m: (m[jb, it], 0, 0)),
+                pl.BlockSpec((kp, bm), lambda jb, it, c, m: (0, m[jb, it])),
+                pl.BlockSpec((kp, bm), lambda jb, it, c, m: (0, m[jb, it])),
+            ],
+            out_specs=[
+                pl.BlockSpec((kp, bn), lambda jb, it, c, m: (0, jb)),
+                pl.BlockSpec((bn, k, d), lambda jb, it, c, m: (jb, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((kp, bn), jnp.float32),
+                pltpu.VMEM((bn, k, d), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((kp, n), jnp.float32),
             jax.ShapeDtypeStruct((n, k, d), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((kp, bn), jnp.float32),
-            pltpu.VMEM((bn, k, d), jnp.float32),
-        ],
         interpret=interpret,
-    )(adj_i8, ld, ls, v, g, lse, delta)
+    )(counts_t, rows_t, adj_i8, ld, ls, v, g, lse, delta)
     return dld, dls, dv
 
 
@@ -264,14 +307,30 @@ def _flash_bwd(adj_i8, ld, ls, v, g, lse, delta, *, slope: float, bm: int,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_core(adj_i8, ld, ls, v, slope, bm, bn, interpret):
-    out, _ = _flash_fwd(adj_i8, ld, ls, v, slope=slope, bm=bm, bn=bn,
-                        interpret=interpret)
+    counts, cols = _fwd_block_map(adj_i8, bm, bn)
+    out, _ = _flash_fwd(counts, cols, adj_i8, ld, ls, v, slope=slope, bm=bm,
+                        bn=bn, interpret=interpret)
     return out
 
 
+def _fwd_block_map(adj_i8, bm, bn):
+    n = adj_i8.shape[0]
+    bmask = (adj_i8.reshape(n // bm, bm, n // bn, bn) != 0).any(axis=(1, 3))
+    return _block_map(bmask)
+
+
+def _bwd_block_map(adj_i8, bm, bn):
+    n = adj_i8.shape[0]
+    bmask = (adj_i8.reshape(n // bm, bm, n // bn, bn) != 0).any(axis=(1, 3))
+    counts, cols = _block_map(bmask)
+    counts_t, rows_t = _block_map(bmask.T)
+    return counts, cols, counts_t, rows_t
+
+
 def _flash_core_fwd(adj_i8, ld, ls, v, slope, bm, bn, interpret):
-    out, lse = _flash_fwd(adj_i8, ld, ls, v, slope=slope, bm=bm, bn=bn,
-                          interpret=interpret)
+    counts, cols = _fwd_block_map(adj_i8, bm, bn)
+    out, lse = _flash_fwd(counts, cols, adj_i8, ld, ls, v, slope=slope,
+                          bm=bm, bn=bn, interpret=interpret)
     return out, (adj_i8, ld, ls, v, out, lse)
 
 
@@ -283,8 +342,10 @@ def _flash_core_bwd(slope, bm, bn, interpret, res, g):
     n, k, _ = v.shape
     delta = jnp.zeros((kp, n), jnp.float32).at[:k].set(
         jnp.sum(g * out, axis=-1).T)  # per-head delta_i = g_i · out_i
-    dld, dls, dv = _flash_bwd(adj_i8, ld, ls, v, g, lse, delta, slope=slope,
-                              bm=bm, bn=bn, interpret=interpret)
+    counts, cols, counts_t, rows_t = _bwd_block_map(adj_i8, bm, bn)
+    dld, dls, dv = _flash_bwd(counts, cols, counts_t, rows_t, adj_i8, ld, ls,
+                              v, g, lse, delta, slope=slope, bm=bm, bn=bn,
+                              interpret=interpret)
     d_adj = np.zeros(adj_i8.shape, dtype=jax.dtypes.float0)
     return d_adj, dld, dls, dv
 
