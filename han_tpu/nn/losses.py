@@ -18,7 +18,7 @@ def masked_softmax_cross_entropy(logits: jax.Array, labels: jax.Array,
     logp = jax.nn.log_softmax(logits, axis=-1)
     loss = -jnp.sum(labels * logp, axis=-1)  # (N,)
     m = mask.astype(jnp.float32)
-    m = m / jnp.mean(m)
+    m = m / jnp.maximum(jnp.mean(m), 1e-12)  # empty mask → 0, not NaN
     return jnp.mean(loss * m)
 
 
@@ -31,7 +31,7 @@ def masked_sigmoid_cross_entropy(logits: jax.Array, labels: jax.Array,
         jnp.exp(-jnp.abs(logits)))
     loss = jnp.mean(loss, axis=-1)  # (N,)
     m = mask.astype(jnp.float32)
-    m = m / jnp.mean(m)
+    m = m / jnp.maximum(jnp.mean(m), 1e-12)  # empty mask → 0, not NaN
     return jnp.mean(loss * m)
 
 
@@ -40,7 +40,7 @@ def masked_accuracy(logits: jax.Array, labels: jax.Array, mask: jax.Array) -> ja
     correct = (jnp.argmax(logits, axis=-1) == jnp.argmax(labels, axis=-1))
     correct = correct.astype(jnp.float32)
     m = mask.astype(jnp.float32)
-    m = m / jnp.mean(m)
+    m = m / jnp.maximum(jnp.mean(m), 1e-12)  # empty mask → 0, not NaN
     return jnp.mean(correct * m)
 
 

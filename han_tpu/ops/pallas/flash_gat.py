@@ -79,9 +79,30 @@ def _block_map(bmask: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(counts_ref, cols_ref, adj_ref, ld_ref, ls_ref, v_ref,
-                out_ref, lse_ref, acc_ref, m_ref, l_ref, *, slope: float,
-                n_j: int, k: int):
+def _tile_drop_keep(shape, dropout_p: float, seed, i_abs, j_abs, h: int,
+                    interpret: bool):
+    """Scaled inverted-dropout keep mask, deterministic per
+    (seed, tile, head) so forward and both backward kernels replay the
+    exact same mask. Hardware path: per-core PRNG (pltpu); interpreter
+    path (CPU tests): jax.random with the same key derivation — the two
+    draw different bits but each is internally consistent."""
+    inv_keep = 1.0 / (1.0 - dropout_p)
+    if interpret:
+        key = jax.random.fold_in(jax.random.fold_in(jax.random.fold_in(
+            jax.random.PRNGKey(seed), i_abs), j_abs), h)
+        keep = jax.random.bernoulli(key, 1.0 - dropout_p, shape)
+        return jnp.where(keep, inv_keep, 0.0)
+    pltpu.prng_seed(seed + i_abs * 1_000_003 + j_abs * 7919 + h * 131)
+    bits = pltpu.prng_random_bits(shape)
+    thresh = jnp.uint32(int((1.0 - dropout_p) * 4294967295.0))
+    keep = pltpu.bitcast(bits, jnp.uint32) < thresh
+    return jnp.where(keep, inv_keep, 0.0)
+
+
+def _fwd_kernel(counts_ref, cols_ref, seed_ref, adj_ref, ld_ref, ls_ref,
+                v_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref, *,
+                slope: float, n_j: int, k: int, dropout_p: float,
+                interpret: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -107,7 +128,15 @@ def _fwd_kernel(counts_ref, cols_ref, adj_ref, ld_ref, ls_ref, v_ref,
             scale = jnp.exp(m_prev - m_new)  # flushes pre-edge junk to 0
             p = jnp.exp(z - m_new[:, None])  # masked entries underflow to 0
             l_new = l_ref[h, :] * scale + jnp.sum(p, axis=1)
-            pv = jnp.dot(p, v_ref[:, h, :],
+            if dropout_p > 0.0:
+                # reference order: softmax first, then dropout on the coefs
+                # (layers.py:27-30) — so l uses undropped p, acc the dropped
+                p_agg = p * _tile_drop_keep(
+                    p.shape, dropout_p, seed_ref[0], i, cols_ref[i, j], h,
+                    interpret)
+            else:
+                p_agg = p
+            pv = jnp.dot(p_agg, v_ref[:, h, :],
                          preferred_element_type=jnp.float32)  # (BM, D)
             acc_ref[:, h, :] = acc_ref[:, h, :] * scale[:, None] + pv
             m_ref[h, :] = m_new
@@ -125,26 +154,28 @@ def _fwd_kernel(counts_ref, cols_ref, adj_ref, ld_ref, ls_ref, v_ref,
                 has_edge, m + jnp.log(jnp.maximum(l, 1e-30)), _NEG_INIT)
 
 
-def _flash_fwd(counts, cols, adj_i8, ld, ls, v, *, slope: float, bm: int,
-               bn: int, interpret: bool):
+def _flash_fwd(counts, cols, seed, adj_i8, ld, ls, v, *, slope: float,
+               bm: int, bn: int, interpret: bool, dropout_p: float = 0.0):
     """adj_i8 (Np, Np) int8; ld/ls (Kp, Np); v (Np, K, D) →
-    out (Np, K, D), lse (Kp, Np). counts/cols: forward block map."""
+    out (Np, K, D), lse (Kp, Np). counts/cols: forward block map; seed:
+    (1,) int32 dropout stream id (ignored when dropout_p == 0)."""
     n, k, d = v.shape
     kp = ld.shape[0]
     n_i, n_j = n // bm, n // bn
-    kernel = functools.partial(_fwd_kernel, slope=slope, n_j=n_j, k=k)
+    kernel = functools.partial(_fwd_kernel, slope=slope, n_j=n_j, k=k,
+                               dropout_p=dropout_p, interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_i, n_j),
         in_specs=[
-            pl.BlockSpec((bm, bn), lambda i, j, cnt, cols: (i, cols[i, j])),
-            pl.BlockSpec((kp, bm), lambda i, j, cnt, cols: (0, i)),
-            pl.BlockSpec((kp, bn), lambda i, j, cnt, cols: (0, cols[i, j])),
-            pl.BlockSpec((bn, k, d), lambda i, j, cnt, cols: (cols[i, j], 0, 0)),
+            pl.BlockSpec((bm, bn), lambda i, j, cnt, cols, sd: (i, cols[i, j])),
+            pl.BlockSpec((kp, bm), lambda i, j, cnt, cols, sd: (0, i)),
+            pl.BlockSpec((kp, bn), lambda i, j, cnt, cols, sd: (0, cols[i, j])),
+            pl.BlockSpec((bn, k, d), lambda i, j, cnt, cols, sd: (cols[i, j], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((bm, k, d), lambda i, j, cnt, cols: (i, 0, 0)),
-            pl.BlockSpec((kp, bm), lambda i, j, cnt, cols: (0, i)),
+            pl.BlockSpec((bm, k, d), lambda i, j, cnt, cols, sd: (i, 0, 0)),
+            pl.BlockSpec((kp, bm), lambda i, j, cnt, cols, sd: (0, i)),
         ],
         scratch_shapes=[
             pltpu.VMEM((bm, k, d), jnp.float32),
@@ -160,7 +191,7 @@ def _flash_fwd(counts, cols, adj_i8, ld, ls, v, *, slope: float, bm: int,
             jax.ShapeDtypeStruct((kp, n), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, cols, adj_i8, ld, ls, v)
+    )(counts, cols, seed, adj_i8, ld, ls, v)
     return out, lse
 
 
@@ -174,23 +205,31 @@ def _flash_fwd(counts, cols, adj_i8, ld, ls, v, *, slope: float, bm: int,
 #   dv_j   = sum_i c_ij * g_i                 (col-sweep kernel)
 
 
-def _head_dz(on_edge, ld, ls, lse, delta, g_h, v_h, slope):
+def _head_dz(on_edge, ld, ls, lse, delta, g_h, v_h, slope,
+             drop_mask=None):
     raw = ld[:, None] + ls[None, :]
     z = jnp.where(raw >= 0, raw, slope * raw)
     z = jnp.where(on_edge, z, MASK_VALUE)
     c = jnp.exp(z - lse[:, None])
     c = jnp.where(on_edge, c, 0.0)  # rows with no edges: lse=-1e9 → exp(0)=1
+    if drop_mask is not None:
+        # replayed forward mask (same per-tile/head seed)
+        c_agg = c * drop_mask
+    else:
+        c_agg = c
     gv = jax.lax.dot_general(
         g_h, v_h, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (BM, BN)
-    dz = c * (gv - delta[:, None])
+    # out = (sum_j c·m·v) / l  ⇒  dz = c·(m·(g·v) − delta)·lrelu'
+    dz = c_agg * gv - c * delta[:, None]
     dslope = jnp.where(raw >= 0, 1.0, slope)
-    return c, dz * dslope
+    return c_agg, dz * dslope
 
 
-def _bwd_row_kernel(counts_ref, cols_ref, adj_ref, ld_ref, ls_ref, v_ref,
-                    g_ref, lse_ref, delta_ref, dld_ref, acc_ref, *,
-                    slope: float, n_j: int, k: int):
+def _bwd_row_kernel(counts_ref, cols_ref, seed_ref, adj_ref, ld_ref,
+                    ls_ref, v_ref, g_ref, lse_ref, delta_ref, dld_ref,
+                    acc_ref, *, slope: float, n_j: int, k: int,
+                    dropout_p: float, interpret: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -202,9 +241,12 @@ def _bwd_row_kernel(counts_ref, cols_ref, adj_ref, ld_ref, ls_ref, v_ref,
     def _compute():
         on_edge = adj_ref[:].astype(jnp.float32) > 0.0
         for h in range(k):
+            mask = (_tile_drop_keep(on_edge.shape, dropout_p, seed_ref[0],
+                                    i, cols_ref[i, j], h, interpret)
+                    if dropout_p > 0.0 else None)
             _, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, :],
                               lse_ref[h, :], delta_ref[h, :], g_ref[:, h, :],
-                              v_ref[:, h, :], slope)
+                              v_ref[:, h, :], slope, mask)
             acc_ref[h, :] += jnp.sum(dzs, axis=1)
 
     @pl.when(j == n_j - 1)
@@ -212,9 +254,10 @@ def _bwd_row_kernel(counts_ref, cols_ref, adj_ref, ld_ref, ls_ref, v_ref,
         dld_ref[:] = acc_ref[:]
 
 
-def _bwd_col_kernel(counts_ref, rows_ref, adj_ref, ld_ref, ls_ref, v_ref,
-                    g_ref, lse_ref, delta_ref, dls_ref, dv_ref, dls_acc,
-                    dv_acc, *, slope: float, n_i: int, k: int):
+def _bwd_col_kernel(counts_ref, rows_ref, seed_ref, adj_ref, ld_ref,
+                    ls_ref, v_ref, g_ref, lse_ref, delta_ref, dls_ref,
+                    dv_ref, dls_acc, dv_acc, *, slope: float, n_i: int,
+                    k: int, dropout_p: float, interpret: bool):
     jb = pl.program_id(0)
     it = pl.program_id(1)  # row sweep is innermost here
 
@@ -227,12 +270,16 @@ def _bwd_col_kernel(counts_ref, rows_ref, adj_ref, ld_ref, ls_ref, v_ref,
     def _compute():
         on_edge = adj_ref[:].astype(jnp.float32) > 0.0
         for h in range(k):
-            c, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, :],
+            mask = (_tile_drop_keep(on_edge.shape, dropout_p, seed_ref[0],
+                                    rows_ref[jb, it], jb, h, interpret)
+                    if dropout_p > 0.0 else None)
+            c_agg, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, :],
                               lse_ref[h, :], delta_ref[h, :], g_ref[:, h, :],
-                              v_ref[:, h, :], slope)
+                              v_ref[:, h, :], slope, mask)
             dls_acc[h, :] += jnp.sum(dzs, axis=0)
-            dv_acc[:, h, :] += jax.lax.dot_general(  # c^T (BN,BM) · g (BM,D)
-                c, g_ref[:, h, :], dimension_numbers=(((0,), (0,)), ((), ())),
+            dv_acc[:, h, :] += jax.lax.dot_general(  # (c·m)^T (BN,BM) · g
+                c_agg, g_ref[:, h, :],
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
     @pl.when(it == n_i - 1)
@@ -241,50 +288,53 @@ def _bwd_col_kernel(counts_ref, rows_ref, adj_ref, ld_ref, ls_ref, v_ref,
         dv_ref[:] = dv_acc[:]
 
 
-def _flash_bwd(counts, cols, counts_t, rows_t, adj_i8, ld, ls, v, g, lse,
-               delta, *, slope: float, bm: int, bn: int, interpret: bool):
+def _flash_bwd(counts, cols, counts_t, rows_t, seed, adj_i8, ld, ls, v, g,
+               lse, delta, *, slope: float, bm: int, bn: int,
+               interpret: bool, dropout_p: float = 0.0):
     n, k, d = v.shape
     kp = ld.shape[0]
     n_i, n_j = n // bm, n // bn
 
     dld = pl.pallas_call(
-        functools.partial(_bwd_row_kernel, slope=slope, n_j=n_j, k=k),
+        functools.partial(_bwd_row_kernel, slope=slope, n_j=n_j, k=k,
+                          dropout_p=dropout_p, interpret=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(n_i, n_j),
             in_specs=[
-                pl.BlockSpec((bm, bn), lambda i, j, c, m: (i, m[i, j])),
-                pl.BlockSpec((kp, bm), lambda i, j, c, m: (0, i)),
-                pl.BlockSpec((kp, bn), lambda i, j, c, m: (0, m[i, j])),
-                pl.BlockSpec((bn, k, d), lambda i, j, c, m: (m[i, j], 0, 0)),
-                pl.BlockSpec((bm, k, d), lambda i, j, c, m: (i, 0, 0)),
-                pl.BlockSpec((kp, bm), lambda i, j, c, m: (0, i)),
-                pl.BlockSpec((kp, bm), lambda i, j, c, m: (0, i)),
+                pl.BlockSpec((bm, bn), lambda i, j, c, m, sd: (i, m[i, j])),
+                pl.BlockSpec((kp, bm), lambda i, j, c, m, sd: (0, i)),
+                pl.BlockSpec((kp, bn), lambda i, j, c, m, sd: (0, m[i, j])),
+                pl.BlockSpec((bn, k, d), lambda i, j, c, m, sd: (m[i, j], 0, 0)),
+                pl.BlockSpec((bm, k, d), lambda i, j, c, m, sd: (i, 0, 0)),
+                pl.BlockSpec((kp, bm), lambda i, j, c, m, sd: (0, i)),
+                pl.BlockSpec((kp, bm), lambda i, j, c, m, sd: (0, i)),
             ],
-            out_specs=pl.BlockSpec((kp, bm), lambda i, j, c, m: (0, i)),
+            out_specs=pl.BlockSpec((kp, bm), lambda i, j, c, m, sd: (0, i)),
             scratch_shapes=[pltpu.VMEM((kp, bm), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((kp, n), jnp.float32),
         interpret=interpret,
-    )(counts, cols, adj_i8, ld, ls, v, g, lse, delta)
+    )(counts, cols, seed, adj_i8, ld, ls, v, g, lse, delta)
 
     dls, dv = pl.pallas_call(
-        functools.partial(_bwd_col_kernel, slope=slope, n_i=n_i, k=k),
+        functools.partial(_bwd_col_kernel, slope=slope, n_i=n_i, k=k,
+                          dropout_p=dropout_p, interpret=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(n_j, n_i),
             in_specs=[
-                pl.BlockSpec((bm, bn), lambda jb, it, c, m: (m[jb, it], jb)),
-                pl.BlockSpec((kp, bm), lambda jb, it, c, m: (0, m[jb, it])),
-                pl.BlockSpec((kp, bn), lambda jb, it, c, m: (0, jb)),
-                pl.BlockSpec((bn, k, d), lambda jb, it, c, m: (jb, 0, 0)),
-                pl.BlockSpec((bm, k, d), lambda jb, it, c, m: (m[jb, it], 0, 0)),
-                pl.BlockSpec((kp, bm), lambda jb, it, c, m: (0, m[jb, it])),
-                pl.BlockSpec((kp, bm), lambda jb, it, c, m: (0, m[jb, it])),
+                pl.BlockSpec((bm, bn), lambda jb, it, c, m, sd: (m[jb, it], jb)),
+                pl.BlockSpec((kp, bm), lambda jb, it, c, m, sd: (0, m[jb, it])),
+                pl.BlockSpec((kp, bn), lambda jb, it, c, m, sd: (0, jb)),
+                pl.BlockSpec((bn, k, d), lambda jb, it, c, m, sd: (jb, 0, 0)),
+                pl.BlockSpec((bm, k, d), lambda jb, it, c, m, sd: (m[jb, it], 0, 0)),
+                pl.BlockSpec((kp, bm), lambda jb, it, c, m, sd: (0, m[jb, it])),
+                pl.BlockSpec((kp, bm), lambda jb, it, c, m, sd: (0, m[jb, it])),
             ],
             out_specs=[
-                pl.BlockSpec((kp, bn), lambda jb, it, c, m: (0, jb)),
-                pl.BlockSpec((bn, k, d), lambda jb, it, c, m: (jb, 0, 0)),
+                pl.BlockSpec((kp, bn), lambda jb, it, c, m, sd: (0, jb)),
+                pl.BlockSpec((bn, k, d), lambda jb, it, c, m, sd: (jb, 0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((kp, bn), jnp.float32),
@@ -296,7 +346,7 @@ def _flash_bwd(counts, cols, counts_t, rows_t, adj_i8, ld, ls, v, g, lse,
             jax.ShapeDtypeStruct((n, k, d), jnp.float32),
         ],
         interpret=interpret,
-    )(counts_t, rows_t, adj_i8, ld, ls, v, g, lse, delta)
+    )(counts_t, rows_t, seed, adj_i8, ld, ls, v, g, lse, delta)
     return dld, dls, dv
 
 
@@ -305,11 +355,12 @@ def _flash_bwd(counts, cols, counts_t, rows_t, adj_i8, ld, ls, v, g, lse,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_core(adj_i8, ld, ls, v, slope, bm, bn, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_core(adj_i8, ld, ls, v, seed, slope, bm, bn, interpret, dropout_p):
     counts, cols = _fwd_block_map(adj_i8, bm, bn)
-    out, _ = _flash_fwd(counts, cols, adj_i8, ld, ls, v, slope=slope, bm=bm,
-                        bn=bn, interpret=interpret)
+    out, _ = _flash_fwd(counts, cols, seed, adj_i8, ld, ls, v, slope=slope,
+                        bm=bm, bn=bn, interpret=interpret,
+                        dropout_p=dropout_p)
     return out
 
 
@@ -327,27 +378,31 @@ def _bwd_block_map(adj_i8, bm, bn):
     return counts, cols, counts_t, rows_t
 
 
-def _flash_core_fwd(adj_i8, ld, ls, v, slope, bm, bn, interpret):
+def _flash_core_fwd(adj_i8, ld, ls, v, seed, slope, bm, bn, interpret,
+                    dropout_p):
     counts, cols = _fwd_block_map(adj_i8, bm, bn)
-    out, lse = _flash_fwd(counts, cols, adj_i8, ld, ls, v, slope=slope,
-                          bm=bm, bn=bn, interpret=interpret)
-    return out, (adj_i8, ld, ls, v, out, lse)
+    out, lse = _flash_fwd(counts, cols, seed, adj_i8, ld, ls, v, slope=slope,
+                          bm=bm, bn=bn, interpret=interpret,
+                          dropout_p=dropout_p)
+    return out, (adj_i8, ld, ls, v, out, lse, seed)
 
 
-def _flash_core_bwd(slope, bm, bn, interpret, res, g):
+def _flash_core_bwd(slope, bm, bn, interpret, dropout_p, res, g):
     import numpy as np
 
-    adj_i8, ld, ls, v, out, lse = res
+    adj_i8, ld, ls, v, out, lse, seed = res
     kp = ld.shape[0]
     n, k, _ = v.shape
     delta = jnp.zeros((kp, n), jnp.float32).at[:k].set(
         jnp.sum(g * out, axis=-1).T)  # per-head delta_i = g_i · out_i
     counts, cols, counts_t, rows_t = _bwd_block_map(adj_i8, bm, bn)
-    dld, dls, dv = _flash_bwd(counts, cols, counts_t, rows_t, adj_i8, ld, ls,
-                              v, g, lse, delta, slope=slope, bm=bm, bn=bn,
-                              interpret=interpret)
+    dld, dls, dv = _flash_bwd(counts, cols, counts_t, rows_t, seed, adj_i8,
+                              ld, ls, v, g, lse, delta, slope=slope, bm=bm,
+                              bn=bn, interpret=interpret,
+                              dropout_p=dropout_p)
     d_adj = np.zeros(adj_i8.shape, dtype=jax.dtypes.float0)
-    return d_adj, dld, dls, dv
+    d_seed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return d_adj, dld, dls, dv, d_seed
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -372,14 +427,12 @@ def flash_gat_attention(
 ):
     """Drop-in implementation for ops.attention.attention_aggregate.
 
-    Dropout on attention coefficients is not fused yet; training steps that
-    need attn_drop route through the XLA paths (dispatchers do this
-    automatically via impl='auto').
+    Coefficient dropout (reference attn_drop, layers.py:29-30) is fused:
+    the per-tile PRNG seed is derived from dropout_rng and replayed in the
+    backward kernels, so no mask is ever materialized.
     """
-    if coef_dropout > 0.0:
-        raise NotImplementedError(
-            "flash impl does not fuse coefficient dropout yet; use "
-            "impl='dense'/'csr' for training with attn_drop > 0")
+    if coef_dropout > 0.0 and dropout_rng is None:
+        raise ValueError("coef_dropout > 0 requires dropout_rng")
     if interpret is None:
         interpret = _default_interpret()
     if not isinstance(graph, DenseGraph):
@@ -399,5 +452,12 @@ def flash_gat_attention(
     ls = jnp.pad(logit_src.astype(jnp.float32).T,
                  ((0, kp - k), (0, n_pad - n)))
 
-    out = _flash_core(adj_i8, ld, ls, v, slope, bm, bn, interpret)
+    if coef_dropout > 0.0:
+        seed = jax.random.randint(
+            dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+
+    out = _flash_core(adj_i8, ld, ls, v, seed, slope, bm, bn, interpret,
+                      float(coef_dropout))
     return out[:n].astype(fts.dtype)

@@ -113,10 +113,14 @@ class Trainer:
         self.logger = logger or MetricLogger(cfg.train.log_file)
         self.graphs = build_graphs(ds, cfg)
         self.model = build_model(ds, cfg)
-        x = jnp.asarray(ds.features)
-        if cfg.data.featype == "adj":  # ex_acm3025.py:92-93 ablation
-            raise NotImplementedError("featype='adj' needs dense adjacency features")
-        self.xs = [x for _ in self.graphs]
+        if cfg.data.featype == "adj":
+            # ablation: each tower's input features are its meta-path's dense
+            # adjacency rows (ex_acm3025.py:92-93 `fea_list = adj_list`)
+            self.xs = [jnp.asarray(a.toarray().astype(np.float32))
+                       for a in ds.metapath_adjs]
+        else:
+            x = jnp.asarray(ds.features)
+            self.xs = [x for _ in self.graphs]
         self.labels = jnp.asarray(ds.labels)
         self.masks = {
             "train": jnp.asarray(ds.train_mask),

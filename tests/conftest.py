@@ -8,7 +8,7 @@ import jax
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: first-compile on this host is ~5s even for
 # trivial programs; cache makes re-runs fast.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

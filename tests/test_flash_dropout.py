@@ -1,0 +1,77 @@
+"""Fused coefficient dropout in the flash kernel: inverted-dropout mean,
+determinism in the rng, and forward/backward mask replay (finite-difference
+gradient check with the mask held fixed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from han_tpu.graph.containers import dense_from_numpy
+from han_tpu.ops.pallas.flash_gat import flash_gat_attention
+
+
+def make_case(n=96, k=2, d=8, seed=0, density=0.15):
+    rng = np.random.default_rng(seed)
+    a = (rng.random((n, n)) < density).astype(np.float32)
+    np.fill_diagonal(a, 1.0)
+    graph = dense_from_numpy(a, add_self_loops=False)
+    fts = jnp.asarray(rng.standard_normal((n, k, d)).astype(np.float32))
+    ld = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    ls = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    return graph, fts, ld, ls
+
+
+def test_dropout_deterministic_and_differs():
+    graph, fts, ld, ls = make_case()
+    key = jax.random.PRNGKey(3)
+    o1 = flash_gat_attention(graph, fts, ld, ls, coef_dropout=0.4,
+                             dropout_rng=key)
+    o2 = flash_gat_attention(graph, fts, ld, ls, coef_dropout=0.4,
+                             dropout_rng=key)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3 = flash_gat_attention(graph, fts, ld, ls, coef_dropout=0.4,
+                             dropout_rng=jax.random.PRNGKey(4))
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+
+
+def test_dropout_mean_matches_nodrop():
+    graph, fts, ld, ls = make_case(n=64)
+    ref = np.asarray(flash_gat_attention(graph, fts, ld, ls))
+    f = jax.jit(lambda key: flash_gat_attention(
+        graph, fts, ld, ls, coef_dropout=0.3, dropout_rng=key))
+    outs = [np.asarray(f(jax.random.PRNGKey(s))) for s in range(300)]
+    np.testing.assert_allclose(np.stack(outs).mean(axis=0), ref, atol=0.12)
+
+
+def test_dropout_grad_matches_finite_difference():
+    """With the rng fixed, the dropout mask is a constant — autodiff grads
+    must match finite differences, proving the backward kernels replay the
+    exact forward mask."""
+    n = 10  # tiny so fp32 secant noise stays below the gradient scale
+    graph, fts, ld, ls = make_case(n=n, k=2, d=4, density=0.3)
+    key = jax.random.PRNGKey(7)
+
+    def loss(ld_, fts_):
+        out = flash_gat_attention(graph, fts_, ld_, ls, coef_dropout=0.35,
+                                  dropout_rng=key)
+        return jnp.sum(out ** 2)
+
+    g_ld, g_fts = jax.grad(loss, argnums=(0, 1))(ld, fts)
+    eps = 1e-2
+    rng = np.random.default_rng(0)
+    checked = 0
+    for _ in range(6):
+        i, h = rng.integers(0, n), rng.integers(0, 2)
+        e = jnp.zeros_like(ld).at[i, h].set(eps)
+        fd = (float(loss(ld + e, fts)) - float(loss(ld - e, fts))) / (2 * eps)
+        if abs(fd) > 0.05:  # skip coords where secant noise dominates
+            np.testing.assert_allclose(float(g_ld[i, h]), fd, rtol=5e-2)
+            checked += 1
+    for _ in range(4):
+        i, h, dd = rng.integers(0, n), rng.integers(0, 2), rng.integers(0, 4)
+        e = jnp.zeros_like(fts).at[i, h, dd].set(eps)
+        fd = (float(loss(ld, fts + e)) - float(loss(ld, fts - e))) / (2 * eps)
+        if abs(fd) > 0.05:
+            np.testing.assert_allclose(float(g_fts[i, h, dd]), fd, rtol=5e-2)
+            checked += 1
+    assert checked >= 3  # the test must actually have verified something

@@ -1,0 +1,109 @@
+"""Trainer integration tests (SURVEY.md §4.4): early-stopping policy,
+checkpoint/resume determinism, metric logging, inductive multi-graph DP."""
+
+import json
+
+import numpy as np
+import pytest
+
+from han_tpu.datasets.ppi import ppi_synthetic
+from han_tpu.graph.synthetic import planted_hetero
+from han_tpu.train.config import Config, preset
+from han_tpu.train.trainer import EarlyStopState, MetricLogger, Trainer
+from han_tpu.train.inductive import InductiveTrainer
+
+
+@pytest.fixture(scope="module")
+def small_ds():
+    return planted_hetero(n_nodes=120, n_feats=32, n_classes=3, n_metapaths=2,
+                          avg_degree=8.0, train_per_class=15, n_val=20, seed=5)
+
+
+def small_cfg(tmp_path, **over):
+    cfg = preset("acm")
+    cfg.train.epochs = over.get("epochs", 12)
+    cfg.train.patience = over.get("patience", 12)
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.model.hid_units = (8,)
+    cfg.model.n_heads = (2, 1)
+    cfg.model.attn_drop = 0.3
+    cfg.model.ffd_drop = 0.3
+    return cfg
+
+
+def test_early_stop_policy_matches_reference():
+    """Exact policy of ex_acm3025.py:225-240: checkpoint iff acc AND loss
+    both improve; patience counts epochs where NEITHER improves."""
+    es = EarlyStopState()
+    ckpt, bad = es.update(1.0, 0.5)       # first epoch: both improve
+    assert ckpt and not bad and es.bad_epochs == 0
+    ckpt, bad = es.update(1.2, 0.6)       # acc improves, loss worsens
+    assert not ckpt and not bad and es.bad_epochs == 0
+    assert es.best_val_acc == 0.6 and es.best_val_loss == 1.0
+    ckpt, bad = es.update(1.5, 0.4)       # neither improves
+    assert not ckpt and bad and es.bad_epochs == 1
+    ckpt, bad = es.update(0.9, 0.7)       # both improve again
+    assert ckpt and es.bad_epochs == 0
+
+
+def test_trainer_fit_and_metrics(small_ds, tmp_path):
+    cfg = small_cfg(tmp_path)
+    cfg.train.log_file = str(tmp_path / "metrics.jsonl")
+    t = Trainer(small_ds, cfg, logger=MetricLogger(cfg.train.log_file, echo=False))
+    result = t.fit()
+    assert np.isfinite(result["test_loss"])
+    assert 0.0 <= result["test_acc"] <= 1.0
+    assert "macro_f1@0.2" in result and "nmi" in result
+    lines = [json.loads(l) for l in open(cfg.train.log_file)]
+    epochs = [l for l in lines if "epoch" in l]
+    assert len(epochs) >= 5
+    assert all("semantic_alphas" in l for l in epochs)
+    # semantic attention weights sum to ~1
+    np.testing.assert_allclose(sum(epochs[0]["semantic_alphas"]), 1.0, atol=2e-3)
+
+
+def test_checkpoint_resume_roundtrip(small_ds, tmp_path):
+    cfg = small_cfg(tmp_path, epochs=6)
+    t = Trainer(small_ds, cfg, logger=MetricLogger(echo=False))
+    t.fit()
+    restored = t.restore_latest()
+    assert restored is not None
+    # restored params produce identical eval metrics to the live best
+    loss_live, acc_live, _, _ = t.eval_step(t.final_params, t.masks["val"])
+    loss_res, acc_res, _, _ = t.eval_step(restored["params"], t.masks["val"])
+    np.testing.assert_allclose(float(loss_res), float(loss_live), rtol=1e-6)
+    np.testing.assert_allclose(float(acc_res), float(acc_live), rtol=1e-6)
+    assert int(restored["epoch"]) >= 0
+    assert np.isfinite(float(restored["best_val_loss"]))
+
+
+def test_seed_determinism(small_ds, tmp_path):
+    """Same seed → identical loss curve (doubles as the data-race canary,
+    SURVEY.md §5.2)."""
+    logs = []
+    for run in range(2):
+        cfg = small_cfg(tmp_path / f"r{run}", epochs=4)
+        records = []
+
+        class Cap(MetricLogger):
+            def __init__(self):
+                super().__init__(echo=False)
+
+            def log(self, rec):
+                records.append(rec)
+
+        Trainer(small_ds, cfg, logger=Cap()).fit()
+        logs.append([r["train_loss"] for r in records if "train_loss" in r])
+    np.testing.assert_array_equal(logs[0], logs[1])
+
+
+def test_inductive_ppi_learns():
+    ds = ppi_synthetic(n_graphs=10, nodes_per_graph=32, n_feats=12,
+                       n_labels=6, seed=2)
+    t = InductiveTrainer(ds, hid_units=(16,), n_heads=(2, 2), lr=0.02,
+                        batch_size=2)
+    res = t.fit(epochs=15, log=lambda r: None)
+    first = res["history"][0]["train_loss"]
+    last = res["history"][-1]["train_loss"]
+    assert last < first * 0.9, (first, last)
+    assert 0.0 <= res["test_micro_f1"] <= 1.0
