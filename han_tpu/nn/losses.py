@@ -71,6 +71,16 @@ def l2_regularizer(params, coef: float) -> jax.Array:
     return coef * 0.5 * sum(jnp.sum(jnp.square(p)) for p in leaves)
 
 
+def confusion_matrix(logits: jax.Array, label_ids: jax.Array,
+                     n_classes: int) -> jax.Array:
+    """(C, C) confusion matrix, rows = true class, cols = argmax prediction;
+    reference ``BaseGAttN.confmat`` (base_gattn.py:33-35)."""
+    preds = jnp.argmax(logits, axis=-1)
+    onehot_true = jax.nn.one_hot(label_ids, n_classes, dtype=jnp.int32)
+    onehot_pred = jax.nn.one_hot(preds, n_classes, dtype=jnp.int32)
+    return onehot_true.T @ onehot_pred
+
+
 def class_weighted_cross_entropy(logits: jax.Array, label_ids: jax.Array,
                                  n_classes: int, class_weights: jax.Array) -> jax.Array:
     """Integer-label CE scaled by per-class weights; reference

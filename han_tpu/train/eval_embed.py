@@ -10,7 +10,12 @@ from __future__ import annotations
 
 import numpy as np
 from sklearn.cluster import KMeans
-from sklearn.metrics import adjusted_rand_score, f1_score, normalized_mutual_info_score
+from sklearn.metrics import (
+    adjusted_rand_score,
+    f1_score,
+    normalized_mutual_info_score,
+    silhouette_score,
+)
 from sklearn.neighbors import KNeighborsClassifier
 
 
@@ -55,18 +60,26 @@ def kmeans_eval(
     n_clusters: int | None = None,
     repeats: int = 10,
     seed: int = 0,
+    with_silhouette: bool = False,
 ) -> dict[str, float]:
     """KMeans clustering of the embedding; NMI + ARI averaged over repeats.
-    ``n_clusters`` defaults to the number of distinct labels."""
+    ``n_clusters`` defaults to the number of distinct labels.
+    ``with_silhouette`` adds the euclidean silhouette score of the cluster
+    assignment (the data/exp.py:25-63 ``my_Kmeans`` variant)."""
     x = np.asarray(x)
     y = np.asarray(y)
     if y.ndim > 1:
         y = np.argmax(y, axis=1)
     k = int(n_clusters or len(np.unique(y)))
-    nmi, ari = [], []
+    nmi, ari, sil = [], [], []
     for r in range(repeats):
         est = KMeans(n_clusters=k, n_init=10, random_state=seed + r)
         pred = est.fit_predict(x)
         nmi.append(normalized_mutual_info_score(y, pred))
         ari.append(adjusted_rand_score(y, pred))
-    return {"nmi": float(np.mean(nmi)), "ari": float(np.mean(ari))}
+        if with_silhouette:
+            sil.append(silhouette_score(x, pred, metric="euclidean"))
+    out = {"nmi": float(np.mean(nmi)), "ari": float(np.mean(ari))}
+    if with_silhouette:
+        out["silhouette"] = float(np.mean(sil))
+    return out
