@@ -49,11 +49,34 @@ def symmetric_metapath(incidence: sp.spmatrix, *, binarize: bool = True) -> sp.c
 
 def with_self_loops(adj: sp.spmatrix) -> sp.csr_matrix:
     """Ensure every node attends to itself (reference adds I via the nhood
-    closure in adj_to_bias, utils/process.py:18-20)."""
-    a = adj.tocsr().astype(np.float32)
-    a = a + sp.eye(a.shape[0], dtype=np.float32, format="csr")
-    a.data = np.ones_like(a.data)
-    return a
+    closure in adj_to_bias, utils/process.py:18-20); output is binarized.
+
+    Built directly on the index arrays (drop any existing diagonal, then
+    splice one self-loop per row) — scipy's ``A + I`` re-canonicalizes the
+    whole matrix, which takes minutes at the 100M-edge scale.
+    """
+    a = adj.tocsr()
+    n = a.shape[0]
+    indptr = a.indptr.astype(np.int64)
+    indices = a.indices.astype(np.int32)
+    # NB dtypes are matched on every ufunc: this numpy build's mixed-dtype
+    # cumsum/repeat paths are ~100x slower than the monomorphic ones
+    counts = np.diff(indptr).astype(np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), counts).astype(np.int32)
+    keep = indices != row_of
+    kept = indices[keep]
+    cum = np.concatenate([
+        np.zeros(1, np.int64), keep.astype(np.int64).cumsum()])
+    new_indptr = cum[indptr] + np.arange(n + 1, dtype=np.int64)
+    new_indices = np.empty(kept.shape[0] + n, np.int32)
+    new_indices[new_indptr[:-1]] = np.arange(n, dtype=np.int32)
+    fill = np.ones(new_indices.shape[0], bool)
+    fill[new_indptr[:-1]] = False
+    new_indices[fill] = kept
+    data = np.ones(new_indices.shape[0], np.float32)
+    out = sp.csr_matrix((data, new_indices, new_indptr), shape=(n, n))
+    out.sort_indices()  # in-place C pass; keeps rows in canonical order
+    return out
 
 
 def metapath_to_csr(adj: sp.spmatrix, *, add_self_loops: bool = True, edge_pad_to: int = 128) -> CSRGraph:

@@ -93,12 +93,25 @@ def sample_subgraph(
 ) -> SubgraphBatch:
     """Uniform L-hop neighborhood sample around ``seeds`` with a static
     output size (``block_size``; default = worst-case seeds·(fanout+1)^hops,
-    truncated breadth-first when exceeded)."""
-    row_ptr = np.asarray(jax.device_get(csr.row_ptr)).astype(np.int64)
+    truncated breadth-first when exceeded). Uses the native C++ sampler
+    (graphcore.cpp ``sample_block``) when built; Python fallback below."""
+    # np.asarray(..., dtype) is a no-op when dtypes already match (astype
+    # would copy the 100M-edge arrays every call)
+    row_ptr = np.asarray(jax.device_get(csr.row_ptr), dtype=np.int64)
     col_idx = np.asarray(jax.device_get(csr.col_idx))[: csr.n_edges]
-    rng = np.random.default_rng(seed)
     seeds = np.asarray(seeds, dtype=np.int32)
     cap = block_size or int(seeds.shape[0] * (fanout + 1) ** hops)
+
+    nat = native.sample_block(row_ptr, col_idx, seeds, fanout=fanout,
+                              hops=hops, block_size=cap, seed=seed)
+    if nat is not None:
+        nodes, nbr, n_real = nat
+        seed_mask = np.zeros(cap, bool)
+        seed_mask[: seeds.shape[0]] = True
+        return SubgraphBatch(nodes=nodes, nbr=nbr, seed_mask=seed_mask,
+                             n_real=n_real)
+
+    rng = np.random.default_rng(seed)
 
     order: list[int] = list(seeds)
     position = {int(s): i for i, s in enumerate(seeds)}

@@ -36,7 +36,9 @@ def _lib():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not _SO.exists() and not _build():
+    src = _DIR / "graphcore.cpp"
+    stale = _SO.exists() and src.stat().st_mtime > _SO.stat().st_mtime
+    if (not _SO.exists() or stale) and not _build():
         return None
     try:
         lib = ctypes.CDLL(str(_SO))
@@ -51,6 +53,9 @@ def _lib():
                                   ctypes.c_void_p, ctypes.c_void_p]
     lib.sample_neighbors.restype = None
     lib.sample_neighbors.argtypes = [i64, i64p, i32p, i64, u64, i32p]
+    lib.sample_block.restype = i64
+    lib.sample_block.argtypes = [i64, i64p, i32p, i64, i32p, i64, i64, i64,
+                                 u64, i32p, i32p]
     lib.connected_components.restype = i64
     lib.connected_components.argtypes = [i64, i64p, i32p, i64p]
     _LIB = lib
@@ -125,6 +130,26 @@ def sample_neighbors(row_ptr, col_idx, fanout: int, seed: int = 0) -> np.ndarray
     out = np.empty((n, fanout), np.int32)
     lib.sample_neighbors(n, rp, ci, fanout, seed, out.reshape(-1))
     return out
+
+
+def sample_block(row_ptr, col_idx, seeds, *, fanout: int, hops: int,
+                 block_size: int, seed: int = 0):
+    """L-hop bounded-fanout block sample around ``seeds`` →
+    (nodes int32[block_size] -1-padded, nbr int32[block_size, fanout]
+    local-index padded with block_size, n_real). Returns None when the
+    native library is unavailable (caller falls back to Python)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    rp = np.ascontiguousarray(row_ptr, np.int64)
+    ci = np.ascontiguousarray(col_idx, np.int32)
+    sd = np.ascontiguousarray(seeds, np.int32)
+    nodes = np.empty(block_size, np.int32)
+    nbr = np.empty((block_size, fanout), np.int32)
+    n_real = lib.sample_block(rp.shape[0] - 1, rp, ci, sd.shape[0], sd,
+                              fanout, hops, block_size, np.uint64(seed),
+                              nodes, nbr.reshape(-1))
+    return nodes, nbr, int(n_real)
 
 
 def connected_components(row_ptr, col_idx) -> tuple[int, np.ndarray]:

@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstring>
 #include <random>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -107,6 +108,69 @@ void sample_neighbors(int64_t n, const int64_t* row_ptr,
       std::sort(out, out + fanout);
     }
   }
+}
+
+// L-hop bounded-fanout block sampling around a seed batch (the mini-batch
+// training workload, train/sampled.py). Emits the SubgraphBatch layout:
+//   out_nodes: int32[block_size] global ids, -1 pad, seeds first;
+//   out_nbr:   int32[block_size * fanout] LOCAL neighbor positions,
+//              pad = block_size.
+// Returns the number of real nodes in the block. Deterministic in `seed`.
+int64_t sample_block(int64_t n, const int64_t* row_ptr,
+                     const int32_t* col_idx, int64_t n_seeds,
+                     const int32_t* seeds, int64_t fanout, int64_t hops,
+                     int64_t block_size, uint64_t seed, int32_t* out_nodes,
+                     int32_t* out_nbr) {
+  std::mt19937_64 rng(seed);
+  std::unordered_map<int32_t, int32_t> position;
+  position.reserve((size_t)block_size * 2);
+  std::vector<int32_t> order;
+  order.reserve(block_size);
+  for (int64_t s = 0; s < n_seeds && s < block_size; ++s) {
+    position.emplace(seeds[s], (int32_t)order.size());
+    order.push_back(seeds[s]);
+  }
+  std::fill(out_nbr, out_nbr + block_size * fanout, (int32_t)block_size);
+  std::vector<int32_t> frontier(order), nxt, buf;
+  std::vector<uint8_t> has_sample(block_size, 0);
+  for (int64_t hop = 0; hop < hops; ++hop) {
+    nxt.clear();
+    for (int32_t u : frontier) {
+      int32_t row = position[u];
+      if (has_sample[row]) continue;
+      has_sample[row] = 1;
+      int64_t lo = row_ptr[u], deg = row_ptr[u + 1] - lo;
+      buf.assign(col_idx + lo, col_idx + lo + deg);
+      int64_t take = deg;
+      if (deg > fanout) {  // partial Fisher–Yates, then sort for determinism
+        for (int64_t k = 0; k < fanout; ++k) {
+          std::uniform_int_distribution<int64_t> d(k, deg - 1);
+          std::swap(buf[k], buf[d(rng)]);
+        }
+        take = fanout;
+        std::sort(buf.begin(), buf.begin() + take);
+      }
+      int32_t* out = out_nbr + (int64_t)row * fanout;
+      int64_t w = 0;
+      for (int64_t k = 0; k < take; ++k) {
+        int32_t v = buf[k];
+        auto it = position.find(v);
+        if (it == position.end()) {
+          if ((int64_t)order.size() >= block_size) continue;  // cap hit
+          it = position.emplace(v, (int32_t)order.size()).first;
+          order.push_back(v);
+          nxt.push_back(v);
+        }
+        out[w++] = it->second;
+      }
+    }
+    frontier.swap(nxt);
+    if ((int64_t)order.size() >= block_size && frontier.empty()) break;
+  }
+  int64_t n_real = (int64_t)order.size();
+  for (int64_t i = 0; i < n_real; ++i) out_nodes[i] = order[i];
+  for (int64_t i = n_real; i < block_size; ++i) out_nodes[i] = -1;
+  return n_real;
 }
 
 // Connected components over an undirected CSR graph; writes component id

@@ -1,0 +1,246 @@
+"""Mini-batch HAN training via L-hop neighbor-sampled blocks.
+
+The full-graph trainer (train/trainer.py) needs every meta-path adjacency
+and the whole feature matrix resident per step — fine up to a few million
+edges, impossible for the BASELINE.json synthetic 100M-edge config. This
+trainer implements the standard sampled GNN recipe, TPU-shaped:
+
+- each step trains on a fixed-size **seed-node batch**;
+- per meta-path, an L-hop bounded-fanout block is sampled around the
+  seeds host-side (graph/sampling.sample_subgraph; L = #GAT layers, so
+  seed outputs are *exact* message passing over the sampled fanout);
+- blocks have **globally static shapes** (block_size × fanout), so the
+  jitted step compiles once and every batch reuses it — the EllGraph's
+  static treedef metadata is pinned to the nominal capacity, never the
+  per-batch edge count;
+- seed rows come first in every block, so the per-node semantic attention
+  fuses aligned rows across meta-path towers; loss/metrics mask to seed
+  rows only.
+
+The reference has no sampling (SURVEY.md §2.3: full neighborhoods, dense
+masks) — this subsystem is the scale-out answer it lacks, paired with
+edge partitioning (parallel/edge_partition.py) for multi-chip.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from han_tpu.datasets.base import HeteroDataset
+from han_tpu.graph.containers import EllGraph
+from han_tpu.graph.sampling import sample_subgraph
+from han_tpu.nn.losses import l2_regularizer, masked_accuracy, masked_softmax_cross_entropy
+from han_tpu.train.config import Config
+from han_tpu.train.trainer import EarlyStopState, MetricLogger, build_model
+
+
+class SampledTrainer:
+    """HAN/GAT training over seed-node batches of a huge heterogeneous graph."""
+
+    def __init__(self, ds: HeteroDataset, cfg: Config, *,
+                 batch_size: int = 512, fanout: int = 16,
+                 hops: int | None = None, block_size: int | None = None,
+                 eval_batches: int | None = None,
+                 logger: MetricLogger | None = None):
+        self.ds = ds
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.fanout = fanout
+        self.hops = hops if hops is not None else len(cfg.model.hid_units)
+        # default block capacity: seeds + fanout neighbors per hop, padded
+        self.block_size = block_size or int(
+            batch_size * (fanout + 1) ** self.hops)
+        self.eval_batches = eval_batches
+        self.logger = logger or MetricLogger(cfg.train.log_file)
+
+        if cfg.model.impl not in ("auto", "ell"):
+            raise ValueError("sampled training runs on the ell backend")
+        cfg.model.impl = "ell"
+        self.model = build_model(ds, cfg)
+        self._is_han = cfg.model.arch.startswith("han")
+        # self-loops match the full-graph path (reference adj_to_bias adds I,
+        # utils/process.py:18-20); graphs stay host-side scipy
+        from han_tpu.graph.build import with_self_loops
+
+        # one host-side CSR view per meta-path, index dtypes converted ONCE
+        # (per-batch astype copies of 100M-edge index arrays dominate the
+        # step otherwise)
+        self.csrs = [_ScipyCSRView(with_self_loops(a))
+                     for a in ds.metapath_adjs]
+        self.features = np.ascontiguousarray(ds.features, dtype=np.float32)
+        self.labels = np.asarray(ds.labels, dtype=np.float32)
+        self.tx = optax.adam(cfg.train.lr)
+        # host-side running count of real sampled edges across _make_batch
+        # calls (throughput accounting without device round trips)
+        self.sampled_edge_count = 0
+        self._build_steps()
+
+    # -- host-side block assembly -----------------------------------------
+    def _make_batch(self, seeds: np.ndarray, valid: np.ndarray, sample_seed: int):
+        """Blocks for one seed batch → (graphs, xs, labels, mask) device args.
+
+        ``valid`` masks padded seed slots (eval tail batches). Static
+        shapes: every output has the same shape for every batch.
+        """
+        graphs, xs = [], []
+        lbl = np.zeros((self.block_size, self.labels.shape[1]), np.float32)
+        mask = np.zeros(self.block_size, np.float32)
+        for p, csr in enumerate(self.csrs):
+            sb = sample_subgraph(
+                csr, seeds, fanout=self.fanout, hops=self.hops,
+                block_size=self.block_size, seed=sample_seed * 7919 + p)
+            self.sampled_edge_count += int((sb.nbr < self.block_size).sum())
+            ell = sb.ell()
+            # pin static metadata to capacity so the jitted step's treedef
+            # (and hence the compiled program) is identical for every batch
+            graphs.append(EllGraph(nbr=ell.nbr, deg=ell.deg,
+                                   n_nodes=self.block_size,
+                                   n_edges=self.block_size * self.fanout))
+            xs.append(jnp.asarray(sb.gather_features(self.features)))
+            if p == 0:
+                real = sb.nodes >= 0
+                lbl[real] = self.labels[sb.nodes[real]]
+                mask[: seeds.shape[0]] = valid.astype(np.float32)
+        return graphs, xs, jnp.asarray(lbl), jnp.asarray(mask)
+
+    # -- jitted steps ------------------------------------------------------
+    def _apply(self, params, graphs, xs, *, deterministic, rng=None):
+        args = (graphs, xs) if self._is_han else (graphs[0], xs[0])
+        kwargs: dict[str, Any] = {"deterministic": deterministic}
+        if rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
+        out = self.model.apply(params, *args, **kwargs)
+        return (out[0], out[1]) if self._is_han else (out, out)
+
+    def _build_steps(self):
+        l2c = self.cfg.train.l2_coef
+
+        def train_step(params, opt_state, rng, graphs, xs, labels, mask):
+            rng, sub = jax.random.split(rng)
+
+            def loss_fn(p):
+                logits, _ = self._apply(p, graphs, xs, deterministic=False, rng=sub)
+                return (masked_softmax_cross_entropy(logits, labels, mask)
+                        + l2_regularizer(p, l2c)), logits
+
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, rng, loss, masked_accuracy(logits, labels, mask)
+
+        def eval_step(params, graphs, xs, labels, mask):
+            logits, embed = self._apply(params, graphs, xs, deterministic=True)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            loss_i = -jnp.sum(labels * logp, axis=-1)
+            correct = (jnp.argmax(logits, -1) == jnp.argmax(labels, -1)).astype(jnp.float32)
+            return (jnp.sum(loss_i * mask), jnp.sum(correct * mask),
+                    jnp.sum(mask), embed)
+
+        self._train_step = jax.jit(train_step)
+        self._eval_step = jax.jit(eval_step)
+
+    def _prefetched(self, seed_iter, sample_seed_fn):
+        """One-ahead pipelined batch assembly: the NEXT block is sampled on a
+        worker thread while the device runs the CURRENT step (host sampling
+        and TPU compute overlap — the standard sampled-GNN pipeline)."""
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = None
+            for bi, (seeds, valid) in enumerate(seed_iter):
+                nxt = pool.submit(self._make_batch, seeds, valid, sample_seed_fn(bi))
+                if fut is not None:
+                    yield fut.result()
+                fut = nxt
+            if fut is not None:
+                yield fut.result()
+
+    # -- batch iteration ---------------------------------------------------
+    def _seed_batches(self, idx: np.ndarray, *, shuffle: bool, epoch: int):
+        rng = np.random.default_rng(self.cfg.train.seed * 1_000_003 + epoch)
+        order = rng.permutation(idx) if shuffle else idx
+        b = self.batch_size
+        for i in range(0, order.shape[0], b):
+            chunk = order[i : i + b]
+            valid = np.ones(chunk.shape[0], bool)
+            if chunk.shape[0] < b:  # pad tail batch, mask the padding out
+                pad = np.zeros(b - chunk.shape[0], chunk.dtype)
+                valid = np.concatenate([valid, np.zeros(pad.shape[0], bool)])
+                chunk = np.concatenate([chunk, pad])
+            yield chunk.astype(np.int32), valid
+
+    def evaluate(self, params, idx: np.ndarray, *, epoch: int = 0):
+        """Exact masked loss/accuracy over ``idx`` via sampled blocks."""
+        tot_l = tot_c = tot_n = 0.0
+        for bi, (seeds, valid) in enumerate(
+                self._seed_batches(idx, shuffle=False, epoch=0)):
+            if self.eval_batches is not None and bi >= self.eval_batches:
+                break
+            graphs, xs, lbl, mask = self._make_batch(
+                seeds, valid, sample_seed=10_000_019 + epoch)
+            l, c, n, _ = self._eval_step(params, graphs, xs, lbl, mask)
+            tot_l += float(l); tot_c += float(c); tot_n += float(n)
+        tot_n = max(tot_n, 1.0)
+        return tot_l / tot_n, tot_c / tot_n
+
+    def fit(self) -> dict[str, Any]:
+        cfg = self.cfg.train
+        rng = jax.random.PRNGKey(cfg.seed)
+        init_graphs, init_xs, _, _ = self._make_batch(
+            *next(self._seed_batches(np.where(self.ds.train_mask)[0],
+                                     shuffle=False, epoch=0)), sample_seed=0)
+        args = (init_graphs, init_xs) if self._is_han else (init_graphs[0], init_xs[0])
+        params = self.model.init(rng, *args)
+        opt_state = self.tx.init(params)
+        step_rng = jax.random.PRNGKey(cfg.seed + 1)
+        es = EarlyStopState()
+        best = {"params": params, "epoch": -1}
+        train_idx = np.where(self.ds.train_mask)[0]
+        val_idx = np.where(self.ds.val_mask)[0]
+        t_start = time.time()
+
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            losses, accs = [], []
+            for graphs, xs, lbl, mask in self._prefetched(
+                    self._seed_batches(train_idx, shuffle=True, epoch=epoch),
+                    lambda bi: epoch * 65_537 + bi):
+                params, opt_state, step_rng, loss, acc = self._train_step(
+                    params, opt_state, step_rng, graphs, xs, lbl, mask)
+                losses.append(float(loss)); accs.append(float(acc))
+            vl_loss, vl_acc = self.evaluate(params, val_idx, epoch=epoch)
+            self.logger.log({
+                "epoch": epoch, "train_loss": float(np.mean(losses)),
+                "train_acc": float(np.mean(accs)), "val_loss": vl_loss,
+                "val_acc": vl_acc, "epoch_time_s": round(time.time() - t0, 4),
+            })
+            ckpt, _ = es.update(vl_loss, vl_acc)
+            if ckpt:
+                best = {"params": params, "epoch": epoch}
+            if es.bad_epochs >= cfg.patience:
+                break
+
+        params = best["params"]
+        ts_loss, ts_acc = self.evaluate(
+            params, np.where(self.ds.test_mask)[0], epoch=0)
+        self.final_params = params
+        return {"test_loss": ts_loss, "test_acc": ts_acc,
+                "best_epoch": best["epoch"],
+                "train_time_s": time.time() - t_start}
+
+
+class _ScipyCSRView:
+    """Duck-typed CSRGraph view over a scipy matrix (no device transfer;
+    index dtypes normalized once at construction)."""
+
+    def __init__(self, m):
+        m = m.tocsr()
+        self.row_ptr = np.ascontiguousarray(m.indptr, np.int64)
+        self.col_idx = np.ascontiguousarray(m.indices, np.int32)
+        self.n_nodes = m.shape[0]
+        self.n_edges = int(m.nnz)

@@ -1,0 +1,150 @@
+"""Scale benchmark: sampled HAN training on graphs too big for dense forms.
+
+The BASELINE.json scaling config — "synthetic 100M-edge heterogeneous
+graph, meta-path neighbor sampling" — exercised end to end: a large CSR
+heterogeneous graph is generated directly (no dense N×N anything), and
+training runs over seed-node batches with L-hop bounded-fanout sampled
+blocks (train/sampled.py) with one-ahead host prefetch.
+
+Prints one JSON line: sampled-edge throughput (edges aggregated per second
+per chip, forward+backward) plus the host-sampling / device-compute split.
+
+    python scripts/bench_scale.py                        # 10M edges (quick)
+    python scripts/bench_scale.py --nodes 1000000 --avg-degree 100  # 100M
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+
+def big_csr(n: int, avg_degree: int, *, n_comm: int = 64, seed: int = 0) -> sp.csr_matrix:
+    """Community-clustered fixed-degree CSR built directly from index arrays
+    (never materializes COO duplicates or dense forms)."""
+    rng = np.random.default_rng(seed)
+    deg = avg_degree
+    row_ptr = (np.arange(n + 1, dtype=np.int64) * deg)
+    comm_of = (np.arange(n, dtype=np.int64) * n_comm) // n
+    comm_size = n // n_comm
+    # 80% of neighbors inside the node's community, rest uniform
+    local = rng.integers(0, max(comm_size, 1), size=(n, deg), dtype=np.int64)
+    base = (comm_of * comm_size)[:, None]
+    cols = base + local
+    far = rng.random((n, deg)) > 0.8
+    cols[far] = rng.integers(0, n, size=int(far.sum()), dtype=np.int64)
+    cols = np.minimum(cols, n - 1).astype(np.int32).reshape(-1)
+    data = np.ones(cols.shape[0], dtype=np.float32)
+    return sp.csr_matrix((data, cols, row_ptr), shape=(n, n))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--nodes", type=int, default=500_000)
+    p.add_argument("--avg-degree", type=int, default=20)
+    p.add_argument("--metapaths", type=int, default=2)
+    p.add_argument("--feats", type=int, default=64)
+    p.add_argument("--classes", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--fanout", type=int, default=16)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from han_tpu.graph.synthetic import HeteroDataset
+    from han_tpu.train.config import preset
+    from han_tpu.train.sampled import SampledTrainer
+
+    rng = np.random.default_rng(args.seed)
+    n = args.nodes
+    t0 = time.perf_counter()
+    adjs = [big_csr(n, args.avg_degree, seed=args.seed + 31 * p_)
+            for p_ in range(args.metapaths)]
+    feats = rng.standard_normal((n, args.feats)).astype(np.float32)
+    y = rng.integers(0, args.classes, size=n)
+    labels = np.zeros((n, args.classes), np.float32)
+    labels[np.arange(n), y] = 1.0
+    train_mask = np.zeros(n, bool)
+    train_mask[: args.batch_size * args.steps] = True
+    val_mask = np.zeros(n, bool)
+    val_mask[-args.batch_size:] = True
+    ds = HeteroDataset(adjs, feats, labels, train_mask, val_mask,
+                       ~(train_mask | val_mask), name="scale")
+    total_edges = sum(int(a.nnz) for a in adjs)
+    print(f"# graph: {n} nodes, {total_edges} edges, built in "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+
+    cfg = preset("acm")
+    cfg.model.impl = "ell"
+    cfg.train.log_file = ""
+    trainer = SampledTrainer(ds, cfg, batch_size=args.batch_size,
+                             fanout=args.fanout, eval_batches=1)
+
+    train_idx = np.where(ds.train_mask)[0]
+    params = None
+    # timed loop: one epoch over --steps batches with prefetch, exactly as fit()
+    batches = trainer._prefetched(
+        trainer._seed_batches(train_idx, shuffle=True, epoch=0), lambda bi: bi)
+    first = next(batches)
+    graphs, xs, lbl, mask = first
+    p_args = (graphs, xs) if trainer._is_han else (graphs[0], xs[0])
+    params = trainer.model.init(jax.random.PRNGKey(0), *p_args)
+    opt_state = trainer.tx.init(params)
+    step_rng = jax.random.PRNGKey(1)
+    # warmup / compile on the first batch
+    out = trainer._train_step(params, opt_state, step_rng, graphs, xs, lbl, mask)
+    params, opt_state, step_rng = out[0], out[1], out[2]
+    float(out[3])  # force completion (axon: block_until_ready is enqueue-only)
+    print("# compiled; timing", file=sys.stderr, flush=True)
+
+    edges0 = trainer.sampled_edge_count
+    t_loop0 = time.perf_counter()
+    n_steps = 0
+    loss = out[3]
+    step_times = []
+    for graphs, xs, lbl, mask in batches:
+        ts = time.perf_counter()
+        params, opt_state, step_rng, loss, acc = trainer._train_step(
+            params, opt_state, step_rng, graphs, xs, lbl, mask)
+        step_times.append(time.perf_counter() - ts)
+        n_steps += 1
+    final_loss = float(loss)  # forces the whole chain
+    sampled_edges = trainer.sampled_edge_count - edges0
+    t_total = time.perf_counter() - t_loop0
+
+    heads = cfg.model.n_heads[0]
+    result = {
+        "metric": (f"sampled-edges/s/chip (train fwd+bwd, N={n}, "
+                   f"E={total_edges}, B={args.batch_size}, f={args.fanout})"),
+        "value": round(sampled_edges * heads / t_total, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": None,
+        "detail": {
+            "steps": n_steps, "step_time_ms": round(t_total / max(n_steps, 1) * 1e3, 2),
+            "dispatch_ms_median": round(
+                float(np.median(step_times)) * 1e3, 2) if step_times else None,
+            "graph_edges": total_edges, "sampled_edges_per_step":
+                sampled_edges // max(n_steps, 1),
+            "final_loss": round(final_loss, 4),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Sampled mini-batch trainer (train/sampled.py): seed-exactness vs the
+full-graph path, static batch shapes (single compile), and learning on a
+planted graph — the >HBM scale path of SURVEY.md §2.3 / BASELINE.json."""
+
+import jax
+import numpy as np
+import pytest
+
+from han_tpu.graph import synthetic
+from han_tpu.train.config import preset
+from han_tpu.train.sampled import SampledTrainer
+
+
+@pytest.fixture(scope="module")
+def small_ds():
+    return synthetic.planted_hetero(
+        n_nodes=128, n_feats=24, n_classes=3, n_metapaths=2,
+        avg_degree=6.0, train_per_class=16, n_val=24, seed=3)
+
+
+def make_trainer(ds, **over):
+    cfg = preset("acm")
+    cfg.model.impl = "ell"
+    cfg.train.epochs = over.pop("epochs", 5)
+    cfg.train.patience = 50
+    cfg.train.log_file = ""
+    cfg.model.hid_units = [8]
+    cfg.model.n_heads = [4, 1]
+    cfg.model.attn_drop = 0.0
+    cfg.model.ffd_drop = 0.0
+    return SampledTrainer(ds, cfg, **over)
+
+
+def test_seed_rows_match_full_graph(small_ds):
+    """With fanout >= max degree and hops = #layers, the sampled block gives
+    the seeds exactly the full neighborhood → logits equal the full-graph
+    ell-backend forward."""
+    ds = small_ds
+    # +1: the trainer adds self-loops to match the full-graph path
+    max_deg = 1 + max(int(np.diff(a.indptr).max()) for a in ds.metapath_adjs)
+    t = make_trainer(ds, batch_size=16, fanout=max_deg,
+                     block_size=16 * (max_deg + 1))
+    seeds = np.arange(16, dtype=np.int32)
+    valid = np.ones(16, bool)
+    graphs, xs, lbl, mask = t._make_batch(seeds, valid, sample_seed=0)
+    params = t.model.init(jax.random.PRNGKey(0), graphs, xs)
+    block_logits, _ = t._apply(params, graphs, xs, deterministic=True)
+
+    # full-graph forward with the SAME params (shapes differ; params don't)
+    from han_tpu.graph.build import metapath_to_csr
+    from han_tpu.graph.containers import ell_from_csr
+
+    full_graphs = [ell_from_csr(metapath_to_csr(a)) for a in ds.metapath_adjs]
+    x = np.asarray(ds.features)
+    full_logits, _ = t._apply(params, full_graphs, [x, x], deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(block_logits)[:16], np.asarray(full_logits)[seeds],
+        rtol=1e-4, atol=1e-5)
+
+
+def test_batches_share_one_treedef(small_ds):
+    """Every batch must produce the identical pytree structure + shapes so
+    the jitted step compiles exactly once."""
+    t = make_trainer(small_ds, batch_size=16, fanout=4)
+    b1 = t._make_batch(np.arange(16, dtype=np.int32), np.ones(16, bool), 1)
+    b2 = t._make_batch(np.arange(40, 56, dtype=np.int32), np.ones(16, bool), 2)
+    s1 = jax.tree_util.tree_structure(b1)
+    s2 = jax.tree_util.tree_structure(b2)
+    assert s1 == s2
+    for l1, l2 in zip(jax.tree_util.tree_leaves(b1), jax.tree_util.tree_leaves(b2)):
+        assert l1.shape == l2.shape and l1.dtype == l2.dtype
+
+
+def test_sampled_training_learns(small_ds):
+    t = make_trainer(small_ds, batch_size=24, fanout=6, epochs=25)
+    result = t.fit()
+    assert result["test_acc"] > 0.55  # 3 classes → chance is 0.33
+    # tail-batch padding: eval over an odd-sized index set stays exact
+    loss, acc = t.evaluate(t.final_params, np.arange(37), epoch=0)
+    assert np.isfinite(loss) and 0.0 <= acc <= 1.0

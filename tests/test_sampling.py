@@ -69,3 +69,62 @@ def test_subgraph_block():
     gf = blk.gather_features(feats)
     np.testing.assert_array_equal(gf[0], feats[3])
     assert (gf[blk.nodes < 0] == 0).all()
+
+
+def test_native_block_sampler_matches_python_when_exhaustive():
+    """With fanout >= max degree both the C++ sample_block and the Python
+    fallback keep every neighbor → identical blocks (sorted neighbor order,
+    BFS discovery order)."""
+    from han_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    csr = make_csr(n=60, deg=4.0, seed=7)
+    import jax
+
+    row_ptr = np.asarray(jax.device_get(csr.row_ptr)).astype(np.int64)
+    max_deg = int(np.diff(row_ptr).max())
+    seeds = np.array([3, 11, 42], np.int32)
+    cap = int(seeds.shape[0] * (max_deg + 1) ** 2)
+
+    sb = sample_subgraph(csr, seeds, fanout=max_deg, hops=2,
+                         block_size=cap, seed=0)  # native path
+    from han_tpu.graph.sampling import SubgraphBatch  # python fallback, inline
+
+    col_idx = np.asarray(jax.device_get(csr.col_idx))[: csr.n_edges]
+    # force the python path by calling through a library-less shim
+    import han_tpu.graph.sampling as sampling_mod
+    import unittest.mock as mock
+
+    with mock.patch.object(sampling_mod.native, "sample_block",
+                           lambda *a, **k: None):
+        sb_py = sample_subgraph(csr, seeds, fanout=max_deg, hops=2,
+                                block_size=cap, seed=0)
+    np.testing.assert_array_equal(sb.nodes, sb_py.nodes)
+    np.testing.assert_array_equal(sb.nbr, sb_py.nbr)
+    assert sb.n_real == sb_py.n_real
+
+
+def test_native_block_sampler_invariants_under_subsampling():
+    """When fanout < degree the native sampler must still emit a valid
+    block: local indices in range, seeds first, fanout bound respected."""
+    from han_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    csr = make_csr(n=200, deg=12.0, seed=1)
+    seeds = np.arange(20, dtype=np.int32)
+    cap = 20 * 5
+    sb = sample_subgraph(csr, seeds, fanout=4, hops=1, block_size=cap, seed=9)
+    assert (sb.nodes[:20] == seeds).all()
+    assert 20 <= sb.n_real <= cap
+    real_rows = sb.nbr[sb.nbr < cap]
+    assert (real_rows >= 0).all() and (real_rows < sb.n_real).all()
+    assert ((sb.nbr < cap).sum(axis=1) <= 4).all()
+    # deterministic in seed
+    sb2 = sample_subgraph(csr, seeds, fanout=4, hops=1, block_size=cap, seed=9)
+    np.testing.assert_array_equal(sb.nbr, sb2.nbr)
