@@ -88,7 +88,14 @@ def main(argv=None):
     ls = jnp.asarray(rng.standard_normal((args.n, k)).astype(np.float32))
 
     def make_fn(impl):
-        graphs = dense_graphs if impl in ("flash", "dense") else csr_graphs
+        if impl in ("flash", "dense"):
+            graphs = dense_graphs
+        elif impl == "ell":
+            from han_tpu.graph.containers import ell_from_csr
+
+            graphs = [ell_from_csr(g) for g in csr_graphs]
+        else:
+            graphs = csr_graphs
 
         # graphs passed as jit ARGUMENTS: closure-captured device arrays are
         # re-uploaded per call on remote-attached TPU backends (~35 ms/37 MB).

@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 from han_tpu.graph.containers import DenseGraph, MASK_VALUE
 
 DEF_BM = 512
-DEF_BN = 512
+DEF_BN = 2048  # wide column tiles: ~13us fixed cost per active grid step
+               # (measured v5e) makes narrow tiles step-overhead-bound
 _NEG_INIT = -1e9  # same magnitude as the mask (finite on purpose; see above)
 
 
@@ -114,7 +115,7 @@ def _fwd_kernel(counts_ref, cols_ref, seed_ref, adj_ref, ld_ref, ls_ref,
 
     @pl.when(j < counts_ref[i])
     def _compute():
-        on_edge = adj_ref[:].astype(jnp.float32) > 0.0  # int8 → f32 once
+        on_edge = adj_ref[:] != 0  # int8 compare; no f32 tile materialized
 
         for h in range(k):  # static unroll; adjacency reused across heads
             ld = ld_ref[h, :]  # (BM,)
@@ -239,7 +240,7 @@ def _bwd_row_kernel(counts_ref, cols_ref, seed_ref, adj_ref, ld_ref,
 
     @pl.when(j < counts_ref[i])
     def _compute():
-        on_edge = adj_ref[:].astype(jnp.float32) > 0.0
+        on_edge = adj_ref[:] != 0
         for h in range(k):
             mask = (_tile_drop_keep(on_edge.shape, dropout_p, seed_ref[0],
                                     i, cols_ref[i, j], h, interpret)
@@ -268,7 +269,7 @@ def _bwd_col_kernel(counts_ref, rows_ref, seed_ref, adj_ref, ld_ref,
 
     @pl.when(it < counts_ref[jb])
     def _compute():
-        on_edge = adj_ref[:].astype(jnp.float32) > 0.0
+        on_edge = adj_ref[:] != 0
         for h in range(k):
             mask = (_tile_drop_keep(on_edge.shape, dropout_p, seed_ref[0],
                                     rows_ref[jb, it], jb, h, interpret)
