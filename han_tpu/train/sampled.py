@@ -174,6 +174,10 @@ class SampledTrainer:
                 chunk = np.concatenate([chunk, pad])
             yield chunk.astype(np.int32), valid
 
+    def _init_params_from(self, rng, graphs, xs):
+        args = (graphs, xs) if self._is_han else (graphs[0], xs[0])
+        return self.model.init(rng, *args)
+
     def evaluate(self, params, idx: np.ndarray, *, epoch: int = 0):
         """Exact masked loss/accuracy over ``idx`` via sampled blocks."""
         tot_l = tot_c = tot_n = 0.0
@@ -194,8 +198,7 @@ class SampledTrainer:
         init_graphs, init_xs, _, _ = self._make_batch(
             *next(self._seed_batches(np.where(self.ds.train_mask)[0],
                                      shuffle=False, epoch=0)), sample_seed=0)
-        args = (init_graphs, init_xs) if self._is_han else (init_graphs[0], init_xs[0])
-        params = self.model.init(rng, *args)
+        params = self._init_params_from(rng, init_graphs, init_xs)
         opt_state = self.tx.init(params)
         step_rng = jax.random.PRNGKey(cfg.seed + 1)
         es = EarlyStopState()
@@ -244,3 +247,104 @@ class _ScipyCSRView:
         self.col_idx = np.ascontiguousarray(m.indices, np.int32)
         self.n_nodes = m.shape[0]
         self.n_edges = int(m.nnz)
+
+
+class DPSampledTrainer(SampledTrainer):
+    """Sampled training data-parallel over the mesh ``graph`` axis.
+
+    The seed batch is split into one sub-block per graph-axis shard; every
+    leaf is stacked to ``(S, ...)`` and device_put with a
+    ``P('graph', ...)`` sharding, so XLA SPMD runs each shard's block on
+    its own device and psums the (replicated-parameter) gradients over
+    ICI — DP for sampled GNN training (SURVEY.md §2.3 row 1). Loss and
+    accuracy are exact global masked means (weighted sums across shards),
+    so an S-way step equals the single-device step on the same seeds
+    (tests/test_sampled_trainer.py)."""
+
+    def __init__(self, ds: HeteroDataset, cfg: Config, *, mesh,
+                 batch_size: int = 512, fanout: int = 16,
+                 hops: int | None = None, block_size: int | None = None,
+                 **kw):
+        from han_tpu.parallel.mesh import GRAPH_AXIS
+
+        self.mesh = mesh
+        self.n_shards = int(mesh.shape[GRAPH_AXIS])
+        if batch_size % self.n_shards:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by {self.n_shards} shards")
+        per_shard = batch_size // self.n_shards
+        h = hops if hops is not None else len(cfg.model.hid_units)
+        block_size = block_size or int(per_shard * (fanout + 1) ** h)
+        super().__init__(ds, cfg, batch_size=batch_size, fanout=fanout,
+                         hops=hops, block_size=block_size, **kw)
+
+    def _make_batch(self, seeds: np.ndarray, valid: np.ndarray, sample_seed: int):
+        from jax.sharding import NamedSharding, PartitionSpec
+        from han_tpu.parallel.mesh import GRAPH_AXIS
+
+        s = self.n_shards
+        seed_groups = seeds.reshape(s, -1)
+        valid_groups = valid.reshape(s, -1)
+        parts = [super(DPSampledTrainer, self)._make_batch(
+                     seed_groups[i], valid_groups[i], sample_seed * s + i)
+                 for i in range(s)]
+        stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *parts)
+        return jax.device_put(
+            stacked, NamedSharding(self.mesh, PartitionSpec(GRAPH_AXIS)))
+
+    def _init_params_from(self, rng, graphs, xs):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        # init on shard 0's (unstacked) block; replicate over the mesh
+        g0 = jax.tree_util.tree_map(lambda a: a[0], graphs)
+        x0 = [x[0] for x in xs]
+        params = super()._init_params_from(rng, g0, x0)
+        return jax.device_put(params, NamedSharding(self.mesh, PartitionSpec()))
+
+    def _build_steps(self):
+        l2c = self.cfg.train.l2_coef
+        s = self.n_shards
+
+        def fwd(params, graphs, xs, rng, deterministic):
+            args = (graphs, xs) if self._is_han else (graphs[0], xs[0])
+            kwargs: dict[str, Any] = {"deterministic": deterministic}
+            if rng is not None:
+                kwargs["rngs"] = {"dropout": rng}
+            out = self.model.apply(params, *args, **kwargs)
+            return (out[0], out[1]) if self._is_han else (out, out)
+
+        def global_masked(logits, labels, mask):
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            loss_i = -jnp.sum(labels * logp, axis=-1)          # (S, block)
+            correct = (jnp.argmax(logits, -1) == jnp.argmax(labels, -1)
+                       ).astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(mask), 1.0)
+            return jnp.sum(loss_i * mask) / n, jnp.sum(correct * mask) / n
+
+        def train_step(params, opt_state, rng, graphs, xs, labels, mask):
+            rng, sub = jax.random.split(rng)
+            subs = jax.random.split(sub, s)  # per-shard dropout streams
+
+            def loss_fn(p):
+                logits, _ = jax.vmap(
+                    lambda g, x, r: fwd(p, g, x, r, False))(graphs, xs, subs)
+                loss, acc = global_masked(logits, labels, mask)
+                return loss + l2_regularizer(p, l2c), acc
+
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, rng, loss, acc
+
+        def eval_step(params, graphs, xs, labels, mask):
+            logits, embed = jax.vmap(
+                lambda g, x: fwd(params, g, x, None, True))(graphs, xs)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            loss_i = -jnp.sum(labels * logp, axis=-1)
+            correct = (jnp.argmax(logits, -1) == jnp.argmax(labels, -1)
+                       ).astype(jnp.float32)
+            return (jnp.sum(loss_i * mask), jnp.sum(correct * mask),
+                    jnp.sum(mask), embed)
+
+        self._train_step = jax.jit(train_step)
+        self._eval_step = jax.jit(eval_step)

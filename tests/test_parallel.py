@@ -99,3 +99,14 @@ def test_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_launch_single_process_noop():
+    """init_distributed with no configuration is a no-op that still reports
+    the local topology (SURVEY.md §5.8 launcher)."""
+    from han_tpu.parallel.launch import init_distributed, is_coordinator
+
+    info = init_distributed()
+    assert info["num_processes"] == 1 and info["process_id"] == 0
+    assert info["global_devices"] >= 1
+    assert is_coordinator()

@@ -78,3 +78,65 @@ def test_sampled_training_learns(small_ds):
     # tail-batch padding: eval over an odd-sized index set stays exact
     loss, acc = t.evaluate(t.final_params, np.arange(37), epoch=0)
     assert np.isfinite(loss) and 0.0 <= acc <= 1.0
+
+
+def test_dp_sampled_matches_single_device(small_ds):
+    """An S-way data-parallel sampled step (seed batch sharded over the
+    mesh graph axis) produces the same loss and parameter update as the
+    single-device step on the same seeds (fanout >= max degree so both
+    see full neighborhoods)."""
+    from han_tpu.parallel.mesh import make_mesh
+    from han_tpu.train.sampled import DPSampledTrainer
+
+    ds = small_ds
+    max_deg = 1 + max(int(np.diff(a.indptr).max()) for a in ds.metapath_adjs)
+    single = make_trainer(ds, batch_size=16, fanout=max_deg,
+                          block_size=16 * (max_deg + 1))
+
+    cfg = preset("acm")
+    cfg.model.impl = "ell"
+    cfg.train.log_file = ""
+    cfg.model.hid_units = [8]
+    cfg.model.n_heads = [4, 1]
+    cfg.model.attn_drop = 0.0
+    cfg.model.ffd_drop = 0.0
+    mesh = make_mesh(graph=4, heads=1)
+    dp = DPSampledTrainer(ds, cfg, mesh=mesh, batch_size=16, fanout=max_deg,
+                          block_size=4 * (max_deg + 1))
+
+    seeds = np.arange(16, dtype=np.int32)
+    valid = np.ones(16, bool)
+    b1 = single._make_batch(seeds, valid, 0)
+    b2 = dp._make_batch(seeds, valid, 0)
+
+    params = single._init_params_from(jax.random.PRNGKey(0), b1[0], b1[1])
+    rng = jax.random.PRNGKey(7)
+    p1, o1, _, loss1, acc1 = single._train_step(
+        params, single.tx.init(params), rng, *b1)
+    p2, o2, _, loss2, acc2 = dp._train_step(
+        params, dp.tx.init(params), rng, *b2)
+
+    assert np.isclose(float(loss1), float(loss2), rtol=1e-5)
+    assert np.isclose(float(acc1), float(acc2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_dp_sampled_training_learns(small_ds):
+    from han_tpu.parallel.mesh import make_mesh
+    from han_tpu.train.sampled import DPSampledTrainer
+
+    cfg = preset("acm")
+    cfg.model.impl = "ell"
+    cfg.train.epochs = 20
+    cfg.train.patience = 50
+    cfg.train.log_file = ""
+    cfg.model.hid_units = [8]
+    cfg.model.n_heads = [4, 1]
+    cfg.model.attn_drop = 0.0
+    cfg.model.ffd_drop = 0.0
+    mesh = make_mesh(graph=2, heads=1)
+    t = DPSampledTrainer(small_ds, cfg, mesh=mesh, batch_size=24, fanout=6)
+    result = t.fit()
+    assert result["test_acc"] > 0.55
