@@ -53,6 +53,7 @@ from han_tpu.graph.containers import DenseGraph, MASK_VALUE
 DEF_BM = 512
 DEF_BN = 2048  # wide column tiles: ~13us fixed cost per active grid step
                # (measured v5e) makes narrow tiles step-overhead-bound
+DEF_BN_BWD = 1024  # backward keeps more live temps per strip → narrower tile
 _NEG_INIT = -1e9  # same magnitude as the mask (finite on purpose; see above)
 
 
@@ -80,24 +81,32 @@ def _block_map(bmask: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-def _tile_drop_keep(shape, dropout_p: float, seed, i_abs, j_abs, h: int,
+def _tile_drop_keep(shape, dropout_p: float, seed, i_abs, strip_abs, h: int,
                     interpret: bool):
     """Scaled inverted-dropout keep mask, deterministic per
-    (seed, tile, head) so forward and both backward kernels replay the
-    exact same mask. Hardware path: per-core PRNG (pltpu); interpreter
-    path (CPU tests): jax.random with the same key derivation — the two
-    draw different bits but each is internally consistent."""
+    (seed, row tile, SUB-wide column strip, head) so forward and both
+    backward kernels replay the exact same mask regardless of their own
+    tile widths. Hardware path: per-core PRNG (pltpu); interpreter path
+    (CPU tests): jax.random with the same key derivation — the two draw
+    different bits but each is internally consistent."""
     inv_keep = 1.0 / (1.0 - dropout_p)
     if interpret:
         key = jax.random.fold_in(jax.random.fold_in(jax.random.fold_in(
-            jax.random.PRNGKey(seed), i_abs), j_abs), h)
+            jax.random.PRNGKey(seed), i_abs), strip_abs), h)
         keep = jax.random.bernoulli(key, 1.0 - dropout_p, shape)
         return jnp.where(keep, inv_keep, 0.0)
-    pltpu.prng_seed(seed + i_abs * 1_000_003 + j_abs * 7919 + h * 131)
+    pltpu.prng_seed(seed + i_abs * 1_000_003 + strip_abs * 7919 + h * 131)
     bits = pltpu.prng_random_bits(shape)
     thresh = jnp.uint32(int((1.0 - dropout_p) * 4294967295.0))
     keep = pltpu.bitcast(bits, jnp.uint32) < thresh
     return jnp.where(keep, inv_keep, 0.0)
+
+
+# Wide column tiles amortize the ~13us fixed cost per active grid step, but
+# the (BM, BN) f32 temporaries of the softmax math must stay small or the
+# kernel overflows scoped VMEM (16 MB). Compute therefore sweeps the tile
+# in SUB-wide column strips: DMA stays BN-wide, live temps are (BM, SUB).
+SUB = 512
 
 
 def _fwd_kernel(counts_ref, cols_ref, seed_ref, adj_ref, ld_ref, ls_ref,
@@ -115,33 +124,41 @@ def _fwd_kernel(counts_ref, cols_ref, seed_ref, adj_ref, ld_ref, ls_ref,
 
     @pl.when(j < counts_ref[i])
     def _compute():
-        on_edge = adj_ref[:] != 0  # int8 compare; no f32 tile materialized
+        bn = adj_ref.shape[1]
+        # dropout's in-kernel PRNG mask adds (BM, strip)-sized temporaries;
+        # with dropout off the whole tile is one strip (fastest — the
+        # serial m/l chain across strips costs ~2.7x when not needed)
+        sub = bn if dropout_p == 0.0 else min(SUB, bn)
+        for c in range(bn // sub):  # static column strips within the tile
+            cs = slice(c * sub, (c + 1) * sub)
+            on_edge = adj_ref[:, cs] != 0  # int8 compare, no f32 tile
 
-        for h in range(k):  # static unroll; adjacency reused across heads
-            ld = ld_ref[h, :]  # (BM,)
-            ls = ls_ref[h, :]  # (BN,)
-            raw = ld[:, None] + ls[None, :]  # (BM, BN)
-            z = jnp.where(raw >= 0, raw, slope * raw)
-            z = jnp.where(on_edge, z, MASK_VALUE)
+            for h in range(k):  # static unroll; strip reused across heads
+                ld = ld_ref[h, :]   # (BM,)
+                ls = ls_ref[h, cs]  # (SUB,)
+                raw = ld[:, None] + ls[None, :]  # (BM, SUB)
+                z = jnp.where(raw >= 0, raw, slope * raw)
+                z = jnp.where(on_edge, z, MASK_VALUE)
 
-            m_prev = m_ref[h, :]
-            m_new = jnp.maximum(m_prev, jnp.max(z, axis=1))
-            scale = jnp.exp(m_prev - m_new)  # flushes pre-edge junk to 0
-            p = jnp.exp(z - m_new[:, None])  # masked entries underflow to 0
-            l_new = l_ref[h, :] * scale + jnp.sum(p, axis=1)
-            if dropout_p > 0.0:
-                # reference order: softmax first, then dropout on the coefs
-                # (layers.py:27-30) — so l uses undropped p, acc the dropped
-                p_agg = p * _tile_drop_keep(
-                    p.shape, dropout_p, seed_ref[0], i, cols_ref[i, j], h,
-                    interpret)
-            else:
-                p_agg = p
-            pv = jnp.dot(p_agg, v_ref[:, h, :],
-                         preferred_element_type=jnp.float32)  # (BM, D)
-            acc_ref[:, h, :] = acc_ref[:, h, :] * scale[:, None] + pv
-            m_ref[h, :] = m_new
-            l_ref[h, :] = l_new
+                m_prev = m_ref[h, :]
+                m_new = jnp.maximum(m_prev, jnp.max(z, axis=1))
+                scale = jnp.exp(m_prev - m_new)  # flushes pre-edge junk to 0
+                p = jnp.exp(z - m_new[:, None])  # masked entries underflow to 0
+                l_new = l_ref[h, :] * scale + jnp.sum(p, axis=1)
+                if dropout_p > 0.0:
+                    # reference order: softmax first, then dropout on the
+                    # coefs (layers.py:27-30) — l uses undropped p, acc the
+                    # dropped
+                    p_agg = p * _tile_drop_keep(
+                        p.shape, dropout_p, seed_ref[0], i,
+                        cols_ref[i, j] * (bn // sub) + c, h, interpret)
+                else:
+                    p_agg = p
+                pv = jnp.dot(p_agg, v_ref[cs, h, :],
+                             preferred_element_type=jnp.float32)  # (BM, D)
+                acc_ref[:, h, :] = acc_ref[:, h, :] * scale[:, None] + pv
+                m_ref[h, :] = m_new
+                l_ref[h, :] = l_new
 
     @pl.when(j == n_j - 1)
     def _finalize():
@@ -240,15 +257,20 @@ def _bwd_row_kernel(counts_ref, cols_ref, seed_ref, adj_ref, ld_ref,
 
     @pl.when(j < counts_ref[i])
     def _compute():
-        on_edge = adj_ref[:] != 0
-        for h in range(k):
-            mask = (_tile_drop_keep(on_edge.shape, dropout_p, seed_ref[0],
-                                    i, cols_ref[i, j], h, interpret)
-                    if dropout_p > 0.0 else None)
-            _, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, :],
-                              lse_ref[h, :], delta_ref[h, :], g_ref[:, h, :],
-                              v_ref[:, h, :], slope, mask)
-            acc_ref[h, :] += jnp.sum(dzs, axis=1)
+        bn = adj_ref.shape[1]
+        sub = bn if dropout_p == 0.0 else min(SUB, bn)
+        for c in range(bn // sub):
+            cs = slice(c * sub, (c + 1) * sub)
+            on_edge = adj_ref[:, cs] != 0
+            for h in range(k):
+                mask = (_tile_drop_keep(
+                            on_edge.shape, dropout_p, seed_ref[0], i,
+                            cols_ref[i, j] * (bn // sub) + c, h, interpret)
+                        if dropout_p > 0.0 else None)
+                _, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, cs],
+                                  lse_ref[h, :], delta_ref[h, :],
+                                  g_ref[:, h, :], v_ref[cs, h, :], slope, mask)
+                acc_ref[h, :] += jnp.sum(dzs, axis=1)
 
     @pl.when(j == n_j - 1)
     def _fin():
@@ -269,19 +291,26 @@ def _bwd_col_kernel(counts_ref, rows_ref, seed_ref, adj_ref, ld_ref,
 
     @pl.when(it < counts_ref[jb])
     def _compute():
-        on_edge = adj_ref[:] != 0
-        for h in range(k):
-            mask = (_tile_drop_keep(on_edge.shape, dropout_p, seed_ref[0],
-                                    rows_ref[jb, it], jb, h, interpret)
-                    if dropout_p > 0.0 else None)
-            c_agg, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, :],
-                              lse_ref[h, :], delta_ref[h, :], g_ref[:, h, :],
-                              v_ref[:, h, :], slope, mask)
-            dls_acc[h, :] += jnp.sum(dzs, axis=0)
-            dv_acc[:, h, :] += jax.lax.dot_general(  # (c·m)^T (BN,BM) · g
-                c_agg, g_ref[:, h, :],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        bn = adj_ref.shape[1]
+        sub = bn if dropout_p == 0.0 else min(SUB, bn)
+        for c in range(bn // sub):
+            cs = slice(c * sub, (c + 1) * sub)
+            on_edge = adj_ref[:, cs] != 0
+            for h in range(k):
+                mask = (_tile_drop_keep(
+                            on_edge.shape, dropout_p, seed_ref[0],
+                            rows_ref[jb, it], jb * (bn // sub) + c, h,
+                            interpret)
+                        if dropout_p > 0.0 else None)
+                c_agg, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, cs],
+                                      lse_ref[h, :], delta_ref[h, :],
+                                      g_ref[:, h, :], v_ref[cs, h, :],
+                                      slope, mask)
+                dls_acc[h, cs] += jnp.sum(dzs, axis=0)
+                dv_acc[cs, h, :] += jax.lax.dot_general(  # (c·m)^T · g
+                    c_agg, g_ref[:, h, :],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
     @pl.when(it == n_i - 1)
     def _fin():
@@ -396,10 +425,15 @@ def _flash_core_bwd(slope, bm, bn, interpret, dropout_p, res, g):
     n, k, _ = v.shape
     delta = jnp.zeros((kp, n), jnp.float32).at[:k].set(
         jnp.sum(g * out, axis=-1).T)  # per-head delta_i = g_i · out_i
-    counts, cols, counts_t, rows_t = _bwd_block_map(adj_i8, bm, bn)
+    # the backward kernels keep more temporaries live per strip than the
+    # forward (dz, c, gv, and the dv matmul), so they get a narrower tile;
+    # dropout replay stays exact because strip seeds are global SUB-strip
+    # indices (col_tile * (bn // sub) + c), independent of the tile width
+    bn_b = min(bn, DEF_BN_BWD)
+    counts, cols, counts_t, rows_t = _bwd_block_map(adj_i8, bm, bn_b)
     dld, dls, dv = _flash_bwd(counts, cols, counts_t, rows_t, seed, adj_i8,
                               ld, ls, v, g, lse, delta, slope=slope, bm=bm,
-                              bn=bn, interpret=interpret,
+                              bn=bn_b, interpret=interpret,
                               dropout_p=dropout_p)
     d_adj = np.zeros(adj_i8.shape, dtype=jax.dtypes.float0)
     d_seed = np.zeros(seed.shape, dtype=jax.dtypes.float0)

@@ -135,7 +135,7 @@ def _local_ring(row_local, col_local, col_global, fts_blk, ld_blk, ls_full,
     # --- ring aggregation: features rotate, buckets consumed in step order -
     acc = jnp.zeros((n_loc, k, d))
     # the carry must match the loop output's device-varying type
-    acc = jax.lax.pvary(acc, (GRAPH_AXIS, HEAD_AXIS))
+    acc = jax.lax.pcast(acc, (GRAPH_AXIS, HEAD_AXIS), to="varying")
 
     def ring_step(t, carry):
         acc, blk = carry
