@@ -140,3 +140,37 @@ def test_dp_sampled_training_learns(small_ds):
     t = DPSampledTrainer(small_ds, cfg, mesh=mesh, batch_size=24, fanout=6)
     result = t.fit()
     assert result["test_acc"] > 0.55
+
+
+def test_two_hop_sampled_exactness(small_ds):
+    """Two GAT layers need 2-hop blocks: with exhaustive fanout the seed
+    logits must equal the full-graph forward (guards the L-hop frontier
+    logic in sample_block / sample_subgraph)."""
+    ds = small_ds
+    max_deg = 1 + max(int(np.diff(a.indptr).max()) for a in ds.metapath_adjs)
+    cfg = preset("acm")
+    cfg.model.impl = "ell"
+    cfg.train.log_file = ""
+    cfg.model.hid_units = [8, 8]   # 2 layers -> hops defaults to 2
+    cfg.model.n_heads = [2, 2, 1]
+    cfg.model.attn_drop = 0.0
+    cfg.model.ffd_drop = 0.0
+    from han_tpu.train.sampled import SampledTrainer
+
+    t = SampledTrainer(ds, cfg, batch_size=8,
+                       fanout=max_deg, block_size=ds.n_nodes + 8)
+    assert t.hops == 2
+    seeds = np.array([0, 5, 9, 33, 64, 90, 101, 127], np.int32)
+    graphs, xs, lbl, mask = t._make_batch(seeds, np.ones(8, bool), 0)
+    params = t.model.init(jax.random.PRNGKey(1), graphs, xs)
+    block_logits, _ = t._apply(params, graphs, xs, deterministic=True)
+
+    from han_tpu.graph.build import metapath_to_csr
+    from han_tpu.graph.containers import ell_from_csr
+
+    full_graphs = [ell_from_csr(metapath_to_csr(a)) for a in ds.metapath_adjs]
+    x = np.asarray(ds.features)
+    full_logits, _ = t._apply(params, full_graphs, [x, x], deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(block_logits)[:8], np.asarray(full_logits)[seeds],
+        rtol=2e-4, atol=1e-5)
