@@ -106,3 +106,24 @@ def test_imdb_real_build():
     assert ds.metapath_names == ("MAM", "MDM")
     assert 3000 < ds.n_nodes < 5100  # han.pdf Table 2 lists 4780
     assert ds.train_mask.sum() == 300 and ds.val_mask.sum() == 300
+
+
+def test_normalize_adj_matches_reference_math():
+    """D^-1/2 A D^-1/2 (utils/process.py:144-151) against a direct dense
+    computation, including a zero-degree row."""
+    from han_tpu.graph.build import normalize_adj, preprocess_adj
+
+    rng = np.random.default_rng(0)
+    a = (rng.random((12, 12)) < 0.3).astype(np.float32)
+    a = np.maximum(a, a.T)
+    np.fill_diagonal(a, 0)
+    a[5] = 0
+    a[:, 5] = 0  # isolated node
+    got = normalize_adj(sp.csr_matrix(a)).toarray()
+    deg = a.sum(1)
+    inv = np.where(deg > 0, deg ** -0.5, 0.0)
+    ref = inv[:, None] * a * inv[None, :]
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+    # preprocess_adj = normalize_adj(A + I): isolated node becomes pure self
+    pa = preprocess_adj(sp.csr_matrix(a)).toarray()
+    assert np.isclose(pa[5, 5], 1.0)
