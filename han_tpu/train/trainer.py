@@ -197,7 +197,7 @@ class Trainer:
         path.mkdir(parents=True, exist_ok=True)
         return ocp.CheckpointManager(path)
 
-    def fit(self) -> dict[str, Any]:
+    def fit(self, *, resume: bool = False) -> dict[str, Any]:
         cfg = self.cfg.train
         params = self.init_params()
         opt_state = self.tx.init(params)
@@ -205,9 +205,24 @@ class Trainer:
         es = EarlyStopState()
         best = {"params": params, "epoch": -1}
         mgr = self._ckpt_manager()
+        start_epoch = 0
+        if resume:
+            restored = self.restore_latest()
+            if restored is not None:
+                # deterministic resume (SURVEY.md §5.3): the checkpoint holds
+                # the complete post-epoch state, so the continued run emits
+                # the exact trajectory of an uninterrupted one
+                params = restored["params"]
+                opt_state = restored["opt_state"]
+                rng = restored["rng"]
+                es.best_val_loss = float(restored["best_val_loss"])
+                es.best_val_acc = float(restored["best_val_acc"])
+                es.bad_epochs = int(restored["bad_epochs"])
+                start_epoch = int(restored["epoch"]) + 1
+                best = {"params": params, "epoch": int(restored["epoch"])}
         t_start = time.time()
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             params, opt_state, rng, tr_loss, tr_acc, alphas = self.train_step(
                 params, opt_state, rng)
@@ -221,8 +236,13 @@ class Trainer:
                 "step_time_s": round(time.time() - t0, 4),
             })
             ckpt, _ = es.update(vl_loss, vl_acc)
+            periodic = cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0
             if ckpt:
                 best = {"params": params, "epoch": epoch}
+            if ckpt or periodic:
+                # save-on-best preserves reference dynamics (ex_acm3025.py:
+                # 226-229); the periodic save is the preemption-recovery
+                # point (SURVEY.md §5.3) — both carry the full resume state
                 mgr.save(epoch, args=self._save_args(params, opt_state, rng, es, epoch))
             if es.bad_epochs >= cfg.patience:
                 self.logger.log({"early_stop": epoch,

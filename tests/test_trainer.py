@@ -107,3 +107,47 @@ def test_inductive_ppi_learns():
     last = res["history"][-1]["train_loss"]
     assert last < first * 0.9, (first, last)
     assert 0.0 <= res["test_micro_f1"] <= 1.0
+
+
+def test_preemption_resume_reproduces_trajectory(small_ds, tmp_path):
+    """Fault injection (SURVEY.md §5.3): kill training after 3 epochs, build
+    a fresh Trainer, fit(resume=True) — the continued epochs emit exactly
+    the val losses of an uninterrupted run."""
+    class Capture(MetricLogger):
+        def __init__(self):
+            super().__init__("", echo=False)
+            self.rows = []
+
+        def log(self, rec):
+            self.rows.append(rec)
+
+    def losses(logger):
+        return {r["epoch"]: r["val_loss"] for r in logger.rows if "val_loss" in r}
+
+    # uninterrupted 6-epoch run
+    cap_a = Capture()
+    cfg_a = small_cfg(tmp_path / "a")
+    cfg_a.train.epochs = 6
+    cfg_a.train.patience = 100
+    Trainer(small_ds, cfg_a, logger=cap_a).fit()
+
+    # interrupted run: 3 epochs with per-epoch checkpoints, then "crash"
+    cap_b = Capture()
+    cfg_b = small_cfg(tmp_path / "b")
+    cfg_b.train.epochs = 3
+    cfg_b.train.patience = 100
+    cfg_b.train.checkpoint_every = 1
+    Trainer(small_ds, cfg_b, logger=cap_b).fit()
+
+    # fresh process stand-in: new Trainer, resume from latest checkpoint
+    cap_c = Capture()
+    cfg_c = small_cfg(tmp_path / "b")
+    cfg_c.train.epochs = 6
+    cfg_c.train.patience = 100
+    cfg_c.train.checkpoint_every = 1
+    Trainer(small_ds, cfg_c, logger=cap_c).fit(resume=True)
+
+    la, lc = losses(cap_a), losses(cap_c)
+    assert sorted(lc) == [3, 4, 5]  # resumed exactly after the crash point
+    for e in (3, 4, 5):
+        assert np.isclose(la[e], lc[e], rtol=1e-6, atol=1e-7), (e, la[e], lc[e])
