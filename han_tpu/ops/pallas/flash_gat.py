@@ -204,6 +204,8 @@ def _flash_fwd(counts, cols, seed, adj_i8, ld, ls, v, *, slope: float,
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         out_shape=[
             jax.ShapeDtypeStruct((n, k, d), jnp.float32),
             jax.ShapeDtypeStruct((kp, n), jnp.float32),
@@ -344,6 +346,8 @@ def _flash_bwd(counts, cols, counts_t, rows_t, seed, adj_i8, ld, ls, v, g,
             scratch_shapes=[pltpu.VMEM((kp, bm), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((kp, n), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(counts, cols, seed, adj_i8, ld, ls, v, g, lse, delta)
 
@@ -375,6 +379,8 @@ def _flash_bwd(counts, cols, counts_t, rows_t, seed, adj_i8, ld, ls, v, g,
             jax.ShapeDtypeStruct((kp, n), jnp.float32),
             jax.ShapeDtypeStruct((n, k, d), jnp.float32),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(counts_t, rows_t, seed, adj_i8, ld, ls, v, g, lse, delta)
     return dld, dls, dv
@@ -426,10 +432,13 @@ def _flash_core_bwd(slope, bm, bn, interpret, dropout_p, res, g):
     delta = jnp.zeros((kp, n), jnp.float32).at[:k].set(
         jnp.sum(g * out, axis=-1).T)  # per-head delta_i = g_i · out_i
     # the backward kernels keep more temporaries live per strip than the
-    # forward (dz, c, gv, and the dv matmul), so they get a narrower tile;
-    # dropout replay stays exact because strip seeds are global SUB-strip
-    # indices (col_tile * (bn // sub) + c), independent of the tile width
-    bn_b = min(bn, DEF_BN_BWD)
+    # forward (dz, c, gv, and the dv matmul), so they get a narrower tile —
+    # narrower still under dropout, whose replayed PRNG masks add another
+    # (BM, strip) temp per head (1024-wide bwd tiles measured ~17M scoped
+    # VMEM vs the 16M limit). Dropout replay stays exact because strip
+    # seeds are global SUB-strip indices (col_tile * (bn // sub) + c),
+    # independent of the tile width.
+    bn_b = min(bn, SUB if dropout_p > 0.0 else DEF_BN_BWD)
     counts, cols, counts_t, rows_t = _bwd_block_map(adj_i8, bm, bn_b)
     dld, dls, dv = _flash_bwd(counts, cols, counts_t, rows_t, seed, adj_i8,
                               ld, ls, v, g, lse, delta, slope=slope, bm=bm,
