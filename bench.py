@@ -54,6 +54,8 @@ def main(argv=None):
     p.add_argument("--avg-degree", type=float, default=128.0)
     p.add_argument("--metapaths", type=int, default=2)
     p.add_argument("--impl", default="flash")
+    p.add_argument("--bm", type=int, default=0, help="BCSR row-tile (0=default)")
+    p.add_argument("--bn", type=int, default=0, help="BCSR col-tile (0=default)")
     p.add_argument("--reorder", default="bfs",
                    help="node ordering for tile locality: bfs|labels|degree|none")
     p.add_argument("--iters", type=int, default=20)
@@ -65,7 +67,7 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from han_tpu.graph.build import metapath_to_csr, metapath_to_dense
+    from han_tpu.graph.build import metapath_to_bcsr, metapath_to_csr, metapath_to_dense
     from han_tpu.graph.synthetic import planted_hetero
     from han_tpu.ops.attention import attention_aggregate
 
@@ -88,7 +90,13 @@ def main(argv=None):
     ls = jnp.asarray(rng.standard_normal((args.n, k)).astype(np.float32))
 
     def make_fn(impl):
-        if impl in ("flash", "dense"):
+        if impl == "flash":
+            graphs = [metapath_to_bcsr(a, bm=args.bm or None, bn=args.bn or None)
+                      for a in ds.metapath_adjs]
+            occ = [round(g.occupancy(), 3) for g in graphs]
+            print(f"# bcsr tiles bm={graphs[0].bm} bn={graphs[0].bn} "
+                  f"occupancy={occ}", file=sys.stderr, flush=True)
+        elif impl == "dense":
             graphs = dense_graphs
         elif impl == "ell":
             from han_tpu.graph.containers import ell_from_csr

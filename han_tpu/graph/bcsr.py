@@ -1,0 +1,219 @@
+"""Block-sparse (BCSR / tile-list) graph container for the flash-GAT kernel.
+
+The round-1 flash kernel consumed a fully materialized dense (N, N) int8
+adjacency and recomputed its tile-occupancy block map inside jit on every
+forward AND backward call — an O(N²) reduce + argsort per step, and O(N²)
+HBM for the adjacency itself (10 GB at N=10⁵). This container stores only
+the **occupied (bm × bn) tiles** plus both traversal maps, precomputed once
+on the host:
+
+- ``tiles``  int8[T, bm, bn] — bitmap of each occupied tile, in row-major
+  (row-block, col-block) order. HBM cost ∝ occupied tiles, not N².
+- forward map (row-block → its occupied column tiles): drives the forward
+  and the d_logit_dst backward sweep.
+- backward map (col-block → its occupied row tiles): drives the
+  d_logit_src / d_values backward sweep (the transpose traversal).
+
+Map padding convention (same trick as the round-1 in-jit map): steps past a
+block's count repeat the LAST active entry, so the Pallas pipeline sees an
+unchanged block index and skips the DMA; compute is predicated off.
+
+Tile-size rules (enforced here so the kernel never sees an illegal config;
+round-1 advisor finding: widening tiles broke padding divisibility):
+
+- ``n_pad`` is a common multiple of bm and bn (both sweeps tile exactly);
+- ``bn ≤ 512`` or ``bn % 512 == 0`` — the kernel's in-register column
+  strips are 512 wide, so a tile is always a whole number of strips.
+
+Reference spec being accelerated: the masked dense attention math of
+utils/layers.py:26-34 (see ops/pallas/flash_gat.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from han_tpu.graph.containers import CSRGraph, DenseGraph
+
+# kernel strip width (flash_gat.SUB); bn must be <= or a multiple of it
+_SUB = 512
+
+DEF_BM = 512
+DEF_BN = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pick_tiles(n: int, bm: int = DEF_BM, bn: int = DEF_BN) -> tuple[int, int, int]:
+    """Clamp requested tile sizes to legal values for an n-node graph and
+    return (bm, bn, n_pad) with n_pad divisible by both."""
+    cap = _round_up(max(n, 1), 128)
+    bm = max(min(bm, cap), 8)
+    bn = max(min(bn, cap), 128)
+    if bm % 8 or bn % 128:
+        raise ValueError(f"bm must be a multiple of 8, bn of 128; got {bm}x{bn}")
+    if bn > _SUB:
+        bn = (bn // _SUB) * _SUB  # whole number of 512-wide strips
+    n_pad = _round_up(n, math.lcm(bm, bn))
+    return bm, bn, n_pad
+
+
+@dataclasses.dataclass(frozen=True)
+class BCSRGraph:
+    """Occupied-tile adjacency + precomputed forward/backward block maps."""
+
+    tiles: jax.Array      # int8[T_pad, bm, bn]
+    fwd_count: jax.Array  # int32[nb_r] occupied tiles in each row block
+    fwd_col: jax.Array    # int32[nb_r, c_max] column-block id per step
+    fwd_tile: jax.Array   # int32[nb_r, c_max] tile id per step
+    bwd_count: jax.Array  # int32[nb_c]
+    bwd_row: jax.Array    # int32[nb_c, r_max] row-block id per step
+    bwd_tile: jax.Array   # int32[nb_c, r_max]
+    n_nodes: int
+    n_pad: int
+    bm: int
+    bn: int
+    n_edges: int
+    n_tiles: int  # true occupied tile count (T_pad >= n_tiles >= 1)
+
+    @property
+    def nb_r(self) -> int:
+        return self.n_pad // self.bm
+
+    @property
+    def nb_c(self) -> int:
+        return self.n_pad // self.bn
+
+    @property
+    def c_max(self) -> int:
+        return int(self.fwd_col.shape[1])
+
+    @property
+    def r_max(self) -> int:
+        return int(self.bwd_row.shape[1])
+
+    def occupancy(self) -> float:
+        """Fraction of the padded dense tile grid that is occupied."""
+        return self.n_tiles / (self.nb_r * self.nb_c)
+
+
+jax.tree_util.register_pytree_node(
+    BCSRGraph,
+    lambda g: ((g.tiles, g.fwd_count, g.fwd_col, g.fwd_tile,
+                g.bwd_count, g.bwd_row, g.bwd_tile),
+               (g.n_nodes, g.n_pad, g.bm, g.bn, g.n_edges, g.n_tiles)),
+    lambda meta, data: BCSRGraph(*data, *meta),
+)
+
+
+def _group_map(block_of_step: np.ndarray, other_of_step: np.ndarray,
+               tile_of_step: np.ndarray, n_blocks: int):
+    """Group (block → [(other_block, tile_id)]) into padded count/idx/tile
+    arrays; padding repeats the last active entry (index 0 for empty rows)."""
+    counts = np.bincount(block_of_step, minlength=n_blocks).astype(np.int32)
+    width = max(int(counts.max()) if counts.size else 1, 1)
+    other = np.zeros((n_blocks, width), np.int32)
+    tile = np.zeros((n_blocks, width), np.int32)
+    start = np.zeros(n_blocks + 1, np.int64)
+    np.cumsum(counts, out=start[1:])
+    for b in range(n_blocks):
+        lo, hi = start[b], start[b + 1]
+        c = hi - lo
+        if c:
+            other[b, :c] = other_of_step[lo:hi]
+            tile[b, :c] = tile_of_step[lo:hi]
+            other[b, c:] = other[b, c - 1]
+            tile[b, c:] = tile[b, c - 1]
+    return counts, other, tile
+
+
+def build_tile_arrays(rows: np.ndarray, cols: np.ndarray, nb_r: int,
+                      nb_c: int, bm: int, bn: int):
+    """Rectangular tile-list build (host, O(E)): COO edges over an
+    (nb_r·bm × nb_c·bn) grid → (tiles, fwd_count, fwd_col, fwd_tile,
+    bwd_count, bwd_row, bwd_tile, n_tiles) numpy arrays. Shared by the
+    square single-chip builder and the per-shard row-strip builder."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    if rows.size == 0:
+        return (np.zeros((1, bm, bn), np.int8),
+                np.zeros(nb_r, np.int32), np.zeros((nb_r, 1), np.int32),
+                np.zeros((nb_r, 1), np.int32),
+                np.zeros(nb_c, np.int32), np.zeros((nb_c, 1), np.int32),
+                np.zeros((nb_c, 1), np.int32), 0)
+
+    rb = rows // bm
+    cb = cols // bn
+    key = rb * nb_c + cb
+    # tile ids in row-major (rb, cb) order
+    uniq, tid_of_edge = np.unique(key, return_inverse=True)
+    n_tiles = int(uniq.shape[0])
+
+    tiles = np.zeros((n_tiles, bm, bn), np.int8)
+    tiles[tid_of_edge, rows % bm, cols % bn] = 1
+
+    tile_rb = (uniq // nb_c).astype(np.int64)
+    tile_cb = (uniq % nb_c).astype(np.int64)
+    tids = np.arange(n_tiles, dtype=np.int32)
+
+    # forward: uniq is already sorted row-major → per-rb tiles are grouped
+    # with ascending cb
+    fwd_count, fwd_col, fwd_tile = _group_map(tile_rb, tile_cb.astype(np.int32),
+                                              tids, nb_r)
+    # backward: sort tiles col-major
+    order = np.lexsort((tile_rb, tile_cb))
+    bwd_count, bwd_row, bwd_tile = _group_map(
+        tile_cb[order], tile_rb[order].astype(np.int32), tids[order], nb_c)
+    return (tiles, fwd_count, fwd_col, fwd_tile,
+            bwd_count, bwd_row, bwd_tile, n_tiles)
+
+
+def bcsr_from_coo(rows: np.ndarray, cols: np.ndarray, n: int, *,
+                  bm: int = DEF_BM, bn: int = DEF_BN,
+                  n_edges: int | None = None) -> BCSRGraph:
+    """Build a BCSRGraph from COO edge lists (host-side, O(E))."""
+    rows = np.asarray(rows, np.int64)
+    bm, bn, n_pad = pick_tiles(n, bm, bn)
+    nb_r, nb_c = n_pad // bm, n_pad // bn
+    (tiles, fwd_count, fwd_col, fwd_tile, bwd_count, bwd_row, bwd_tile,
+     n_tiles) = build_tile_arrays(rows, cols, nb_r, nb_c, bm, bn)
+    return BCSRGraph(
+        tiles=jnp.asarray(tiles),
+        fwd_count=jnp.asarray(fwd_count),
+        fwd_col=jnp.asarray(fwd_col),
+        fwd_tile=jnp.asarray(fwd_tile),
+        bwd_count=jnp.asarray(bwd_count),
+        bwd_row=jnp.asarray(bwd_row),
+        bwd_tile=jnp.asarray(bwd_tile),
+        n_nodes=n, n_pad=n_pad, bm=bm, bn=bn,
+        n_edges=int(rows.shape[0]) if n_edges is None else int(n_edges),
+        n_tiles=n_tiles,
+    )
+
+
+def bcsr_from_scipy(sp_mat: Any, *, bm: int = DEF_BM, bn: int = DEF_BN) -> BCSRGraph:
+    m = sp_mat.tocoo().astype(bool)
+    m.sum_duplicates()
+    return bcsr_from_coo(m.row, m.col, m.shape[0], bm=bm, bn=bn)
+
+
+def bcsr_from_dense(graph: DenseGraph | np.ndarray, *, bm: int = DEF_BM,
+                    bn: int = DEF_BN) -> BCSRGraph:
+    a = np.asarray(jax.device_get(graph.adj if isinstance(graph, DenseGraph)
+                                  else graph)) != 0
+    rows, cols = np.nonzero(a)
+    return bcsr_from_coo(rows, cols, a.shape[0], bm=bm, bn=bn)
+
+
+def bcsr_from_csr(csr: CSRGraph, *, bm: int = DEF_BM, bn: int = DEF_BN) -> BCSRGraph:
+    rows = np.asarray(jax.device_get(csr.row_idx))[: csr.n_edges]
+    cols = np.asarray(jax.device_get(csr.col_idx))[: csr.n_edges]
+    return bcsr_from_coo(rows, cols, csr.n_nodes, bm=bm, bn=bn)

@@ -89,6 +89,16 @@ def metapath_to_dense(adj: sp.spmatrix | np.ndarray, *, add_self_loops: bool = T
     return dense_from_numpy(a, add_self_loops=add_self_loops, nhood=nhood)
 
 
+def metapath_to_bcsr(adj: sp.spmatrix, *, add_self_loops: bool = True,
+                     bm: int | None = None, bn: int | None = None):
+    """Block-sparse tile-list container (graph/bcsr.py) — the flash-kernel
+    input; stores only occupied tiles, never a dense N² array."""
+    from han_tpu.graph.bcsr import DEF_BM, DEF_BN, bcsr_from_scipy
+
+    a = with_self_loops(adj) if add_self_loops else adj.tocsr()
+    return bcsr_from_scipy(a, bm=bm or DEF_BM, bn=bn or DEF_BN)
+
+
 def normalize_adj(adj: sp.spmatrix) -> sp.csr_matrix:
     """Symmetric normalization D^{-1/2} A D^{-1/2} (reference
     ``normalize_adj``, utils/process.py:144-151); zero-degree rows stay

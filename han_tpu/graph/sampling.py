@@ -114,7 +114,12 @@ def sample_subgraph(
     rng = np.random.default_rng(seed)
 
     order: list[int] = list(seeds)
-    position = {int(s): i for i, s in enumerate(seeds)}
+    # duplicate seeds map to their FIRST occurrence (matches the native
+    # sampler, graphcore.cpp sample_block); tail batches pad by repeating a
+    # real in-batch seed, so the mask=1 row keeps its sampled edges
+    position: dict[int, int] = {}
+    for i, s in enumerate(seeds):
+        position.setdefault(int(s), i)
     sampled_nbrs: dict[int, np.ndarray] = {}
     frontier = list(seeds)
     for _ in range(hops):

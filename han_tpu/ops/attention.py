@@ -213,6 +213,15 @@ def attention_aggregate(
             graph, fts, logit_dst, logit_src, slope=slope,
             coef_dropout=coef_dropout, dropout_rng=dropout_rng,
         )
+    if type(graph).__name__ == "PartitionedBCSR":
+        from han_tpu.parallel.flash_shard import sharded_flash_attention
+
+        if return_coefs:
+            raise NotImplementedError("return_coefs unsupported on PartitionedBCSR")
+        return sharded_flash_attention(
+            graph, fts, logit_dst, logit_src, slope=slope,
+            coef_dropout=coef_dropout, dropout_rng=dropout_rng,
+        )
     if impl == "auto":
         if isinstance(graph, DenseGraph):
             impl = "dense"
@@ -220,6 +229,8 @@ def attention_aggregate(
             impl = "ell"
         elif isinstance(graph, CSRGraph):
             impl = "csr"
+        elif type(graph).__name__ == "BCSRGraph":
+            impl = "flash"
         else:
             raise TypeError(f"unknown graph container {type(graph)}")
     if impl == "dense":

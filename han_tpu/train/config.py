@@ -18,7 +18,7 @@ class ModelConfig:
     residual: bool = False
     attn_drop: float = 0.6
     ffd_drop: float = 0.6
-    impl: str = "auto"  # dense | ell | csr | flash | auto
+    impl: str = "auto"  # dense | ell | csr | flash (needs bcsr graphs) | auto
 
 
 @dataclasses.dataclass
@@ -26,7 +26,7 @@ class DataConfig:
     dataset: str = "acm"
     featype: str = "fea"  # 'fea' | 'adj' (ex_acm3025.py:92-93)
     edge_pad_to: int = 128
-    graph_format: str = "dense"  # dense | csr | ell — which container to feed
+    graph_format: str = "dense"  # dense | csr | ell | bcsr — container to feed
 
 
 @dataclasses.dataclass
@@ -69,8 +69,11 @@ def preset(name: str) -> Config:
     if name in ("acm", "acm_synthetic"):
         pass  # defaults are the ACM constants
     elif name == "dblp":
-        cfg.data.graph_format = "csr"  # APCPA/APTPA are multi-million-edge
-        cfg.model.impl = "csr"
+        # APCPA/APTPA are multi-million-edge: block-sparse tiles + the fused
+        # flash kernel (results/dblp_flash_train.log: 0.17 s/epoch on TPU;
+        # the csr segment-op path measured 52x slower — PARITY.md)
+        cfg.data.graph_format = "bcsr"
+        cfg.model.impl = "flash"
     elif name == "imdb":
         pass
     elif name == "ppi":

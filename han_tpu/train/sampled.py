@@ -169,7 +169,11 @@ class SampledTrainer:
             chunk = order[i : i + b]
             valid = np.ones(chunk.shape[0], bool)
             if chunk.shape[0] < b:  # pad tail batch, mask the padding out
-                pad = np.zeros(b - chunk.shape[0], chunk.dtype)
+                # repeat an in-batch seed (NOT node 0): with duplicate seeds
+                # the sampler attaches neighbors to the first occurrence, so
+                # the real (mask=1) row keeps its edges and only the masked
+                # pad rows are edgeless
+                pad = np.full(b - chunk.shape[0], chunk[0], chunk.dtype)
                 valid = np.concatenate([valid, np.zeros(pad.shape[0], bool)])
                 chunk = np.concatenate([chunk, pad])
             yield chunk.astype(np.int32), valid

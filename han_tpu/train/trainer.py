@@ -42,6 +42,10 @@ def build_graphs(ds: HeteroDataset, cfg: Config):
     fmt = cfg.data.graph_format
     if fmt == "dense":
         return [metapath_to_dense(a) for a in ds.metapath_adjs]
+    if fmt == "bcsr":
+        from han_tpu.graph.build import metapath_to_bcsr
+
+        return [metapath_to_bcsr(a) for a in ds.metapath_adjs]
     csrs = [metapath_to_csr(a, edge_pad_to=cfg.data.edge_pad_to) for a in ds.metapath_adjs]
     if fmt == "csr":
         return csrs
@@ -206,12 +210,14 @@ class Trainer:
         best = {"params": params, "epoch": -1}
         mgr = self._ckpt_manager()
         start_epoch = 0
+        best_step = -1  # epoch of the last *best* (not periodic) save
         if resume:
             restored = self.restore_latest()
             if restored is not None:
                 # deterministic resume (SURVEY.md §5.3): the checkpoint holds
                 # the complete post-epoch state, so the continued run emits
                 # the exact trajectory of an uninterrupted one
+                init_params = params  # deterministic from seed
                 params = restored["params"]
                 opt_state = restored["opt_state"]
                 rng = restored["rng"]
@@ -219,7 +225,17 @@ class Trainer:
                 es.best_val_acc = float(restored["best_val_acc"])
                 es.bad_epochs = int(restored["bad_epochs"])
                 start_epoch = int(restored["epoch"]) + 1
-                best = {"params": params, "epoch": int(restored["epoch"])}
+                # best params are restored from the recorded *best* step, not
+                # from the latest (possibly periodic) save — the reference
+                # policy tests on the best-val checkpoint (ex_acm3025.py:247)
+                best_step = int(restored["best_step"])
+                if best_step == int(restored["epoch"]):
+                    best = {"params": params, "epoch": best_step}
+                elif best_step >= 0:
+                    at_best = self.restore_latest(step=best_step)
+                    best = {"params": at_best["params"], "epoch": best_step}
+                else:  # no best save yet — same as the uninterrupted run
+                    best = {"params": init_params, "epoch": -1}
         t_start = time.time()
 
         for epoch in range(start_epoch, cfg.epochs):
@@ -239,11 +255,13 @@ class Trainer:
             periodic = cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0
             if ckpt:
                 best = {"params": params, "epoch": epoch}
+                best_step = epoch
             if ckpt or periodic:
                 # save-on-best preserves reference dynamics (ex_acm3025.py:
                 # 226-229); the periodic save is the preemption-recovery
                 # point (SURVEY.md §5.3) — both carry the full resume state
-                mgr.save(epoch, args=self._save_args(params, opt_state, rng, es, epoch))
+                mgr.save(epoch, args=self._save_args(
+                    params, opt_state, rng, es, epoch, best_step))
             if es.bad_epochs >= cfg.patience:
                 self.logger.log({"early_stop": epoch,
                                  "best_val_loss": es.best_val_loss,
@@ -268,7 +286,8 @@ class Trainer:
         self.final_params = params
         return result
 
-    def _save_args(self, params, opt_state, rng, es: EarlyStopState, epoch: int):
+    def _save_args(self, params, opt_state, rng, es: EarlyStopState,
+                   epoch: int, best_step: int):
         import orbax.checkpoint as ocp
 
         state = {
@@ -279,16 +298,20 @@ class Trainer:
             "best_val_loss": jnp.asarray(es.best_val_loss),
             "best_val_acc": jnp.asarray(es.best_val_acc),
             "bad_epochs": jnp.asarray(es.bad_epochs),
+            # which saved step is the last save-on-best (vs periodic) — lets
+            # resume restore best params separately from latest state
+            "best_step": jnp.asarray(best_step),
         }
         return ocp.args.StandardSave(state)
 
-    def restore_latest(self):
+    def restore_latest(self, step: int | None = None):
         """Deterministic resume: params + opt state + PRNG + early-stop
-        trackers (SURVEY.md §5.3)."""
+        trackers (SURVEY.md §5.3). ``step=None`` restores the latest save."""
         import orbax.checkpoint as ocp
 
         mgr = self._ckpt_manager()
-        step = mgr.latest_step()
+        if step is None:
+            step = mgr.latest_step()
         if step is None:
             return None
         params = self.init_params()
@@ -297,7 +320,7 @@ class Trainer:
             "params": params, "opt_state": opt_state,
             "rng": jax.random.PRNGKey(0), "epoch": jnp.asarray(0),
             "best_val_loss": jnp.asarray(0.0), "best_val_acc": jnp.asarray(0.0),
-            "bad_epochs": jnp.asarray(0),
+            "bad_epochs": jnp.asarray(0), "best_step": jnp.asarray(-1),
         }
         return mgr.restore(step, args=ocp.args.StandardRestore(template))
 

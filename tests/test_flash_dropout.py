@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from han_tpu.graph.containers import dense_from_numpy
+from han_tpu.graph.bcsr import bcsr_from_dense
 from han_tpu.ops.pallas.flash_gat import flash_gat_attention
 
 
@@ -14,7 +14,7 @@ def make_case(n=96, k=2, d=8, seed=0, density=0.15):
     rng = np.random.default_rng(seed)
     a = (rng.random((n, n)) < density).astype(np.float32)
     np.fill_diagonal(a, 1.0)
-    graph = dense_from_numpy(a, add_self_loops=False)
+    graph = bcsr_from_dense(a, bm=128, bn=128)
     fts = jnp.asarray(rng.standard_normal((n, k, d)).astype(np.float32))
     ld = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
     ls = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))

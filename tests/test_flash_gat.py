@@ -6,50 +6,52 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from han_tpu.graph.bcsr import bcsr_from_dense
 from han_tpu.graph.containers import dense_from_numpy
 from han_tpu.ops.attention import dense_attention
 from han_tpu.ops.pallas.flash_gat import flash_gat_attention
 
 
-def make_case(n, k, d, seed, density=0.1, empty_row=None):
+def make_case(n, k, d, seed, density=0.1, empty_row=None, bm=128, bn=128):
     rng = np.random.default_rng(seed)
     a = (rng.random((n, n)) < density).astype(np.float32)
     np.fill_diagonal(a, 1.0)
     if empty_row is not None:
         a[empty_row, :] = 0.0
-    graph = dense_from_numpy(a, add_self_loops=False)
+    dense = dense_from_numpy(a, add_self_loops=False)
+    graph = bcsr_from_dense(a, bm=bm, bn=bn)  # flash consumes the tile list
     fts = jnp.asarray(rng.standard_normal((n, k, d)).astype(np.float32))
     ld = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
     ls = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
-    return graph, fts, ld, ls
+    return dense, graph, fts, ld, ls
 
 
 @pytest.mark.parametrize("n,k,d", [(96, 2, 8), (200, 4, 8), (130, 3, 16)])
 def test_flash_matches_dense(n, k, d):
-    graph, fts, ld, ls = make_case(n, k, d, seed=n)
-    ref = dense_attention(graph, fts, ld, ls)
-    out = flash_gat_attention(graph, fts, ld, ls, block_m=128, block_n=128)
+    dense, graph, fts, ld, ls = make_case(n, k, d, seed=n)
+    ref = dense_attention(dense, fts, ld, ls)
+    out = flash_gat_attention(graph, fts, ld, ls)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
 
 
 def test_flash_empty_row_is_zero():
-    graph, fts, ld, ls = make_case(64, 2, 8, seed=5, empty_row=7)
+    dense, graph, fts, ld, ls = make_case(64, 2, 8, seed=5, empty_row=7)
     out = np.asarray(flash_gat_attention(graph, fts, ld, ls))
     np.testing.assert_array_equal(out[7], np.zeros_like(out[7]))
-    ref = np.asarray(dense_attention(graph, fts, ld, ls))
+    ref = np.asarray(dense_attention(dense, fts, ld, ls))
     mask = np.ones(64, bool); mask[7] = False
     np.testing.assert_allclose(out[mask], ref[mask], atol=2e-5, rtol=2e-5)
 
 
 def test_flash_gradients_match_dense():
-    graph, fts, ld, ls = make_case(96, 2, 8, seed=9)
+    dense, graph, fts, ld, ls = make_case(96, 2, 8, seed=9)
 
     def loss_flash(f, a, b):
         return jnp.sum(flash_gat_attention(graph, f, a, b) ** 2)
 
     def loss_dense(f, a, b):
-        return jnp.sum(dense_attention(graph, f, a, b) ** 2)
+        return jnp.sum(dense_attention(dense, f, a, b) ** 2)
 
     g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(fts, ld, ls)
     g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(fts, ld, ls)

@@ -109,6 +109,33 @@ def test_inductive_ppi_learns():
     assert 0.0 <= res["test_micro_f1"] <= 1.0
 
 
+def test_resume_restores_best_not_latest(small_ds, tmp_path):
+    """When the latest checkpoint is a *periodic* save made after the best
+    epoch, resume must still evaluate on the best-epoch params (reference
+    restore-best-then-test policy, ex_acm3025.py:247)."""
+    cfg = small_cfg(tmp_path / "d")
+    cfg.train.epochs = 8
+    cfg.train.patience = 100
+    cfg.train.checkpoint_every = 1
+    cfg.train.lr = 1.0  # diverges: best epoch lands mid-run, later saves are periodic
+    res_a = Trainer(small_ds, cfg, logger=MetricLogger(echo=False)).fit()
+    # precondition: the best epoch precedes the last (periodic) save —
+    # otherwise this test cannot discriminate best-vs-latest restore
+    assert res_a["best_epoch"] < cfg.train.epochs - 1, res_a["best_epoch"]
+
+    # fresh trainer, resume with no further epochs: final eval must come
+    # from the recorded best step, not from the latest periodic checkpoint
+    cfg2 = small_cfg(tmp_path / "d")
+    cfg2.train.epochs = 8
+    cfg2.train.patience = 100
+    cfg2.train.checkpoint_every = 1
+    cfg2.train.lr = 1.0
+    res_b = Trainer(small_ds, cfg2, logger=MetricLogger(echo=False)).fit(resume=True)
+    assert res_b["best_epoch"] == res_a["best_epoch"]
+    np.testing.assert_allclose(res_b["test_loss"], res_a["test_loss"], rtol=1e-6)
+    np.testing.assert_allclose(res_b["test_acc"], res_a["test_acc"], rtol=1e-6)
+
+
 def test_preemption_resume_reproduces_trajectory(small_ds, tmp_path):
     """Fault injection (SURVEY.md §5.3): kill training after 3 epochs, build
     a fresh Trainer, fit(resume=True) — the continued epochs emit exactly
