@@ -45,7 +45,11 @@ from han_tpu.graph.containers import CSRGraph, DenseGraph
 _SUB = 512
 
 DEF_BM = 512
-DEF_BN = 1024
+# wide column tiles amortize the fixed per-grid-step cost (v5e sweep,
+# N=8192/deg128: bn=2048 → 3.42 ms vs bn=1024 → 4.28 ms vs bn=512 → slower
+# still); pass a narrower bn to the builders when tile storage dominates
+# (very sparse, poorly-ordered graphs)
+DEF_BN = 2048
 
 
 def _round_up(x: int, m: int) -> int:

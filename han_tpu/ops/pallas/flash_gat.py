@@ -131,7 +131,8 @@ def _fwd_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref, ld_ref,
                     # dropped
                     p_agg = p * _tile_drop_keep(
                         p.shape, dropout_p, meta_ref[0], i + meta_ref[1],
-                        cols_ref[i, j] * (bn // sub) + c, h, interpret)
+                        cols_ref[i, j] * (bn // sub) + c,
+                        meta_ref[2] + h, interpret)
                 else:
                     p_agg = p
                 pv = jnp.dot(p_agg, v_ref[cs, h, :],
@@ -158,7 +159,9 @@ def _flash_fwd(fcnt, fcol, ftile, meta, tiles2d, ld, ls, v, *, slope: float,
     v (N_cols, K, D) → out (N_rows, K, D), lse (Kp, N_rows). The row and
     column domains may differ (edge-partitioned shards own a row strip of
     the global column space). fcnt/fcol/ftile: precomputed forward block
-    map (graph/bcsr.py); meta: (2,) int32 [dropout seed, row-block offset]."""
+    map (graph/bcsr.py); meta: (3,) int32 [dropout seed, row-block offset,
+    global-head offset] — the offsets globalize the dropout PRNG streams
+    for graph- and head-sharded execution."""
     _, k, d = v.shape
     kp, n_rows = ld.shape
     n_i = n_rows // bm
@@ -253,7 +256,8 @@ def _bwd_row_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref,
                 mask = (_tile_drop_keep(
                             on_edge.shape, dropout_p, meta_ref[0],
                             i + meta_ref[1],
-                            cols_ref[i, j] * (bn // sub) + c, h, interpret)
+                            cols_ref[i, j] * (bn // sub) + c,
+                            meta_ref[2] + h, interpret)
                         if dropout_p > 0.0 else None)
                 _, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, cs],
                                   lse_ref[h, :], delta_ref[h, :],
@@ -288,7 +292,8 @@ def _bwd_col_kernel(counts_ref, rows_ref, tiles_ref, meta_ref, adj_ref,
                 mask = (_tile_drop_keep(
                             on_edge.shape, dropout_p, meta_ref[0],
                             rows_ref[jb, it] + meta_ref[1],
-                            jb * (bn // sub) + c, h, interpret)
+                            jb * (bn // sub) + c,
+                            meta_ref[2] + h, interpret)
                         if dropout_p > 0.0 else None)
                 c_agg, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, cs],
                                       lse_ref[h, :], delta_ref[h, :],
@@ -435,6 +440,7 @@ def flash_gat_attention(
     dropout_rng: jax.Array | None = None,
     interpret: bool | None = None,
     row_block_offset: jax.Array | int = 0,
+    head_offset: jax.Array | int = 0,
 ):
     """Drop-in implementation for ops.attention.attention_aggregate.
 
@@ -469,7 +475,8 @@ def flash_gat_attention(
             dropout_rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
     else:
         seed = jnp.int32(0)
-    meta = jnp.stack([seed, jnp.asarray(row_block_offset, jnp.int32)])
+    meta = jnp.stack([seed, jnp.asarray(row_block_offset, jnp.int32),
+                      jnp.asarray(head_offset, jnp.int32)])
 
     tiles2d = graph.tiles.reshape(-1, bn)
     out = _flash_core(tiles2d, graph.fwd_count, graph.fwd_col,

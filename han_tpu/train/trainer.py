@@ -40,6 +40,27 @@ from han_tpu.train.eval_embed import kmeans_eval, knn_eval
 
 def build_graphs(ds: HeteroDataset, cfg: Config):
     fmt = cfg.data.graph_format
+    shards = cfg.mesh.graph_axis
+    if shards > 1:
+        # multi-chip: the container IS the distribution strategy — the same
+        # model code dispatches to the sharded kernels (ops/attention.py)
+        from han_tpu.graph.build import with_self_loops
+
+        if fmt in ("bcsr", "partitioned_bcsr"):
+            from han_tpu.parallel.flash_shard import partition_bcsr
+
+            return [partition_bcsr(with_self_loops(a), shards)
+                    for a in ds.metapath_adjs]
+        if fmt in ("csr", "partitioned"):
+            from han_tpu.parallel.edge_partition import partition_csr
+
+            return [partition_csr(
+                        metapath_to_csr(a, edge_pad_to=cfg.data.edge_pad_to),
+                        shards, edge_pad_to=cfg.data.edge_pad_to)
+                    for a in ds.metapath_adjs]
+        raise ValueError(
+            f"graph_format {fmt!r} has no partitioned variant "
+            "(use bcsr for the flash kernel or csr for segment ops)")
     if fmt == "dense":
         return [metapath_to_dense(a) for a in ds.metapath_adjs]
     if fmt == "bcsr":
@@ -115,6 +136,15 @@ class Trainer:
         self.ds = ds
         self.cfg = cfg
         self.logger = logger or MetricLogger(cfg.train.log_file)
+        # multi-chip: a ('graph', 'heads') mesh drives the partitioned
+        # containers + sharded kernels (cfg.mesh; SURVEY.md §2.3/§5.8)
+        if cfg.mesh.graph_axis * cfg.mesh.head_axis > 1:
+            from han_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(graph=cfg.mesh.graph_axis,
+                                  heads=cfg.mesh.head_axis)
+        else:
+            self.mesh = None
         self.graphs = build_graphs(ds, cfg)
         self.model = build_model(ds, cfg)
         if cfg.data.featype == "adj":
@@ -182,16 +212,30 @@ class Trainer:
 
         jit_train = jax.jit(train_step)
         jit_eval = jax.jit(eval_step)
-        self.train_step = lambda params, opt_state, rng: jit_train(
-            params, opt_state, rng, self.graphs, self.xs, self.labels,
-            self.masks["train"])
-        self.eval_step = lambda params, mask: jit_eval(
-            params, self.graphs, self.xs, self.labels, mask)
+
+        def run_train(params, opt_state, rng):
+            with self._mesh_ctx():
+                return jit_train(params, opt_state, rng, self.graphs,
+                                 self.xs, self.labels, self.masks["train"])
+
+        def run_eval(params, mask):
+            with self._mesh_ctx():
+                return jit_eval(params, self.graphs, self.xs, self.labels, mask)
+
+        self.train_step = run_train
+        self.eval_step = run_eval
+
+    def _mesh_ctx(self):
+        import contextlib
+
+        return (jax.set_mesh(self.mesh) if self.mesh is not None
+                else contextlib.nullcontext())
 
     def init_params(self):
         rng = jax.random.PRNGKey(self.cfg.train.seed)
         args = (self.graphs, self.xs) if self._is_han else (self.graphs[0], self.xs[0])
-        return self.model.init(rng, *args)
+        with self._mesh_ctx():
+            return self.model.init(rng, *args)
 
     # -- checkpointing ----------------------------------------------------
     def _ckpt_manager(self):
