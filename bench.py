@@ -1,26 +1,42 @@
-"""Benchmark: fused graph-attention aggregate (SDDMM + masked softmax + SpMM).
+"""Benchmark: fused graph-attention aggregate (SDDMM + masked softmax + SpMM),
+forward AND backward — the cost training actually pays.
 
 Prints ONE JSON line: {"metric": ..., "value": ..., "unit": "edges/s/chip",
 "vs_baseline": ...}.
 
 - value: real-edge throughput of the Pallas flash-GAT fused kernel on the
-  ACM3025-shaped HAN workload (2 meta-paths × 8 heads, N=3025), forward pass.
-- vs_baseline: speedup over the XLA dense masked-softmax path — i.e. over a
-  direct port of the reference's dense attention math (utils/layers.py:26-34)
-  to XLA on the same chip. >1.0 means the kernel beats the ported reference.
+  HAN workload (P meta-paths × K heads), one forward + backward
+  (value_and_grad wrt features and both logit terms).
+- vs_baseline: speedup over the XLA dense masked-softmax path — a direct
+  port of the reference's dense attention math (utils/layers.py:26-34) to
+  XLA on the same chip, also fwd+bwd. >1.0 beats the ported reference.
+- detail.roofline: achieved fraction of two speed-of-light models
+  (documented in results/ROOFLINE.md):
+  * tile-domain — what THIS kernel design can reach: compute/HBM time over
+    the occupied (bm×bn) tile area it actually sweeps;
+  * edge-domain — the absolute floor: work ∝ E edges only.
 
 Usage: python bench.py [--impl flash|dense|csr|ell] [--n N] [--heads K]
+                       [--fwd-only] [--bm B] [--bn B]
 """
 
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 import time
 
 import numpy as np
+
+# v5e per-chip capability assumptions for the speed-of-light models
+# (jax-ml.github.io/scaling-book numbers for TPU v5e)
+HBM_BW = 819e9          # bytes/s
+MXU_F32 = 49e12         # FLOP/s (fp32 accum path)
+VPU_F32 = 4e12          # elementwise f32 ops/s (8x128 lanes x 4 ALUs ~940MHz)
+FWD_VPU_OPS = 8.0       # per adjacency-tile element per head (add, lrelu,
+                        # mask, max, exp, sum, scale-accumulate — measured mix)
+BWD_VPU_OPS = 14.0      # backward recomputes z/c and forms dz twice (row+col)
 
 
 def median_time(fn_many, *args, warmup=2, reps=20, outer=5):
@@ -59,6 +75,7 @@ def main(argv=None):
     p.add_argument("--reorder", default="bfs",
                    help="node ordering for tile locality: bfs|labels|degree|none")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--fwd-only", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -79,7 +96,6 @@ def main(argv=None):
 
         ds = reorder(ds, args.reorder)
 
-    dense_graphs = [metapath_to_dense(a) for a in ds.metapath_adjs]
     csr_graphs = [metapath_to_csr(a) for a in ds.metapath_adjs]
     total_edges = sum(g.n_edges for g in csr_graphs)
 
@@ -89,29 +105,37 @@ def main(argv=None):
     ld = jnp.asarray(rng.standard_normal((args.n, k)).astype(np.float32))
     ls = jnp.asarray(rng.standard_normal((args.n, k)).astype(np.float32))
 
-    def make_fn(impl):
+    bcsr_graphs = None
+
+    def graphs_for(impl):
+        nonlocal bcsr_graphs
         if impl == "flash":
-            graphs = [metapath_to_bcsr(a, bm=args.bm or None, bn=args.bn or None)
-                      for a in ds.metapath_adjs]
-            occ = [round(g.occupancy(), 3) for g in graphs]
-            print(f"# bcsr tiles bm={graphs[0].bm} bn={graphs[0].bn} "
-                  f"occupancy={occ}", file=sys.stderr, flush=True)
-        elif impl == "dense":
-            graphs = dense_graphs
-        elif impl == "ell":
+            if bcsr_graphs is None:
+                bcsr_graphs = [
+                    metapath_to_bcsr(a, bm=args.bm or None, bn=args.bn or None)
+                    for a in ds.metapath_adjs]
+                occ = [round(g.occupancy(), 3) for g in bcsr_graphs]
+                print(f"# bcsr tiles bm={bcsr_graphs[0].bm} "
+                      f"bn={bcsr_graphs[0].bn} occupancy={occ}",
+                      file=sys.stderr, flush=True)
+            return bcsr_graphs
+        if impl == "dense":
+            return [metapath_to_dense(a) for a in ds.metapath_adjs]
+        if impl == "ell":
             from han_tpu.graph.containers import ell_from_csr
 
-            graphs = [ell_from_csr(g) for g in csr_graphs]
-        else:
-            graphs = csr_graphs
+            return [ell_from_csr(g) for g in csr_graphs]
+        return csr_graphs
 
-        # graphs passed as jit ARGUMENTS: closure-captured device arrays are
-        # re-uploaded per call on remote-attached TPU backends (~35 ms/37 MB).
-        # `reps` dependency-chained iterations run inside one program; the
-        # tiny carry feedback prevents XLA from hoisting the loop body.
+    # graphs passed as jit ARGUMENTS: closure-captured device arrays are
+    # re-uploaded per call on remote-attached TPU backends (~35 ms/37 MB).
+    # `reps` dependency-chained iterations run inside one program; the tiny
+    # carry feedback prevents XLA from hoisting the loop body.
+    def make_fwd(impl):
+        graphs = graphs_for(impl)
+
         @jax.jit
         def fwd_many(graphs, fts, ld, ls, reps):
-            # dynamic loop bound → ONE compile serves every rep count
             def body(_, carry):
                 f = fts + carry * 1e-30
                 outs = [attention_aggregate(g, f, ld, ls, impl=impl)
@@ -123,26 +147,78 @@ def main(argv=None):
         return lambda fts, ld, ls, reps: fwd_many(
             graphs, fts, ld, ls, jnp.int32(reps))
 
-    print(f"# timing impl={args.impl}", file=sys.stderr, flush=True)
-    t_main = median_time(make_fn(args.impl), fts, ld, ls, reps=args.iters)
+    def make_fwdbwd(impl):
+        graphs = graphs_for(impl)
+
+        @jax.jit
+        def step_many(graphs, fts, ld, ls, reps):
+            def loss(f, a, b):
+                outs = [attention_aggregate(g, f, a, b, impl=impl)
+                        for g in graphs]
+                return sum(o.sum() for o in outs)
+
+            def body(_, carry):
+                l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+                    fts + carry * 1e-30, ld, ls)
+                return l + sum(g.sum() for g in grads) * 1e-30
+
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        return lambda fts, ld, ls, reps: step_many(
+            graphs, fts, ld, ls, jnp.int32(reps))
+
+    make_main = make_fwd if args.fwd_only else make_fwdbwd
+    phase = "fwd" if args.fwd_only else "fwd+bwd"
+    print(f"# timing impl={args.impl} ({phase})", file=sys.stderr, flush=True)
+    t_main = median_time(make_main(args.impl), fts, ld, ls, reps=args.iters)
     print(f"# t_main={t_main*1e3:.3f} ms; timing dense baseline",
           file=sys.stderr, flush=True)
-    t_base = median_time(make_fn("dense"), fts, ld, ls, reps=args.iters)
+    t_base = median_time(make_main("dense"), fts, ld, ls, reps=args.iters)
+    t_fwd = (t_main if args.fwd_only else
+             median_time(make_fwd(args.impl), fts, ld, ls, reps=args.iters))
 
-    edges_per_s = total_edges * k / t_main
+    detail = {
+        "t_main_ms": round(t_main * 1e3, 3),
+        "t_xla_dense_ms": round(t_base * 1e3, 3),
+        "t_fwd_ms": round(t_fwd * 1e3, 3),
+        "total_edges": int(total_edges),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+
+    if args.impl == "flash" and bcsr_graphs is not None:
+        # speed-of-light models (see module docstring / results/ROOFLINE.md)
+        tile_area = sum(g.n_tiles * g.bm * g.bn for g in bcsr_graphs)
+        vpu_ops = FWD_VPU_OPS if args.fwd_only else FWD_VPU_OPS + BWD_VPU_OPS
+        mxu_mults = 1 if args.fwd_only else 3  # fwd pv; bwd gv + dv
+        t_tile_compute = max(tile_area * k * vpu_ops / VPU_F32,
+                             tile_area * k * 2 * d * mxu_mults / MXU_F32)
+        passes = 1 if args.fwd_only else 3     # fwd, bwd-row, bwd-col sweeps
+        hbm_bytes = passes * (
+            tile_area                            # int8 adjacency tiles
+            + sum(g.n_tiles * g.bn * k * d * 4 for g in bcsr_graphs))  # v reads
+        t_tile_hbm = hbm_bytes / HBM_BW
+        t_tile_sol = max(t_tile_compute, t_tile_hbm)
+        t_edge_sol = max(
+            total_edges * k * vpu_ops / VPU_F32,
+            passes * (total_edges * (1 + k * 4) + args.n * k * d * 4) / HBM_BW)
+        detail["roofline"] = {
+            "occupancy": round(float(np.mean(
+                [g.occupancy() for g in bcsr_graphs])), 4),
+            "tile_sol_ms": round(t_tile_sol * 1e3, 3),
+            "tile_sol_frac": round(t_tile_sol / t_main, 4),
+            "edge_sol_ms": round(t_edge_sol * 1e3, 3),
+            "edge_sol_frac": round(t_edge_sol / t_main, 4),
+            "tile_compute_bound": bool(t_tile_compute >= t_tile_hbm),
+        }
+
     result = {
-        "metric": f"edges/s/chip ({args.impl} fused attention aggregate, "
-                  f"N={args.n}, P={args.metapaths}, K={k}, D={d})",
-        "value": round(edges_per_s, 1),
+        "metric": f"edges/s/chip ({args.impl} fused attention aggregate "
+                  f"{phase}, N={args.n}, P={args.metapaths}, K={k}, D={d})",
+        "value": round(total_edges * k / t_main, 1),
         "unit": "edges/s/chip",
         "vs_baseline": round(t_base / t_main, 4),
-        "detail": {
-            "t_main_ms": round(t_main * 1e3, 3),
-            "t_xla_dense_ms": round(t_base * 1e3, 3),
-            "total_edges": int(total_edges),
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
     return result

@@ -32,7 +32,11 @@ def load_dataset(name: str, **kwargs) -> HeteroDataset:
     if name == "powerlaw":
         from han_tpu.graph.synthetic import powerlaw_hetero
         return powerlaw_hetero(**kwargs)
+    if name in ("cora", "citeseer", "pubmed"):
+        from han_tpu.datasets.planetoid import load_planetoid
+        kwargs.setdefault("root", "data_cache/planetoid")
+        return load_planetoid(name=name, **kwargs)
     if name in _REGISTRY:
         return _REGISTRY[name](**kwargs)
     raise KeyError(f"unknown dataset {name!r}; known: acm, acm_synthetic, dblp, "
-                   f"imdb, powerlaw, {sorted(_REGISTRY)}")
+                   f"imdb, powerlaw, cora, citeseer, pubmed, {sorted(_REGISTRY)}")

@@ -93,6 +93,14 @@ class HAN(nn.Module):
     ``__call__(graphs, xs)`` takes P graphs (one per meta-path) and P feature
     arrays (typically the same array repeated); returns
     ``(logits (N, C), embedding (N, K*hid), alphas (N, P))``.
+
+    ``vmap_towers=True`` enables meta-path (expert) parallelism (SURVEY.md
+    §2.3 EP row): ``graphs`` must be ONE stacked container
+    (graph/stack.stack_graphs) and ``xs`` a (P, N, F) array; the P towers
+    run as one vmapped computation whose P axis shards over the mesh 'mp'
+    axis when one is active — the towers are independent until semantic
+    fusion (reference gat.py:39-58), which is where the (N, P, K·hid)
+    stack is (implicitly) all-gathered.
     """
 
     n_classes: int
@@ -104,17 +112,35 @@ class HAN(nn.Module):
     attn_drop: float = 0.0
     ffd_drop: float = 0.0
     impl: Impl = "auto"
+    vmap_towers: bool = False
 
     @nn.compact
-    def __call__(self, graphs: Sequence, xs: Sequence[jax.Array], *,
-                 deterministic: bool = True):
-        embeds = []
-        for p, (graph, x) in enumerate(zip(graphs, xs)):
-            tower = _MetapathTower(self.hid_units, self.n_heads, self.activation,
-                                   self.residual, self.attn_drop, self.ffd_drop,
-                                   self.impl, name=f"tower_{p}")
-            embeds.append(tower(graph, x, deterministic=deterministic))
-        multi = jnp.stack(embeds, axis=1)  # (N, P, K*hid)
+    def __call__(self, graphs, xs, *, deterministic: bool = True):
+        if self.vmap_towers:
+            vtower = nn.vmap(
+                _MetapathTower,
+                in_axes=(0, 0), out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+            )(self.hid_units, self.n_heads, self.activation, self.residual,
+              self.attn_drop, self.ffd_drop, self.impl, name="towers")
+            embeds = vtower(graphs, xs, deterministic=deterministic)  # (P,N,KH)
+            mesh = jax.sharding.get_abstract_mesh()
+            if mesh is not None and not mesh.empty and "mp" in mesh.axis_names:
+                # pin the tower axis to the mp mesh axis so GSPMD executes
+                # each tower on its own shard (EP), gathering only the
+                # (P, N, K·hid) embeddings for the semantic fusion below
+                embeds = jax.lax.with_sharding_constraint(
+                    embeds, jax.sharding.PartitionSpec("mp"))
+            multi = jnp.swapaxes(embeds, 0, 1)  # (N, P, K*hid)
+        else:
+            embeds = []
+            for p, (graph, x) in enumerate(zip(graphs, xs)):
+                tower = _MetapathTower(self.hid_units, self.n_heads, self.activation,
+                                       self.residual, self.attn_drop, self.ffd_drop,
+                                       self.impl, name=f"tower_{p}")
+                embeds.append(tower(graph, x, deterministic=deterministic))
+            multi = jnp.stack(embeds, axis=1)  # (N, P, K*hid)
         final, alphas = SemanticAttention(self.semantic_dim)(multi)
         # classifier: mean of n_heads[-1] Dense layers (reference gat.py:66-76
         # — a plain Dense head, NOT an attention head)

@@ -246,9 +246,10 @@ def _bwd_row_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref,
     @pl.when(j < counts_ref[i])
     def _compute():
         bn = adj_ref.shape[1]
-        # the backward keeps more live temps per strip than the forward
-        # (dz, c, gv) → always strip at SUB to bound scoped VMEM
-        sub = min(SUB, bn)
+        # dropout replay needs SUB-aligned strips; without it the widest
+        # strip that fits scoped VMEM (the backward keeps ~7 (bm, sub) f32
+        # temps live per head: 2048-wide blew the 128M v5e VMEM; 1024 fits)
+        sub = min(bn, 2 * SUB) if dropout_p == 0.0 else min(SUB, bn)
         for c in range(bn // sub):
             cs = slice(c * sub, (c + 1) * sub)
             on_edge = adj_ref[:, cs] != 0
@@ -271,10 +272,27 @@ def _bwd_row_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref,
 
 def _bwd_col_kernel(counts_ref, rows_ref, tiles_ref, meta_ref, adj_ref,
                     ld_ref, ls_ref, v_ref, g_ref, lse_ref, delta_ref,
-                    dls_ref, dv_ref, dls_acc, dv_acc, *, slope: float,
-                    n_i: int, k: int, dropout_p: float, interpret: bool):
+                    dls_ref, dv_ref, *rest, slope: float, n_i: int, k: int,
+                    bm: int, dropout_p: float, interpret: bool,
+                    fuse_dld: bool = True):
+    """Single-sweep backward: per occupied tile (column-major) compute dz
+    once and scatter all three gradients — dls/dv into per-column-block
+    accumulators, dld into a persistent full-width VMEM output window
+    (constant block index) at the tile's row offset. Eliminates the
+    separate row-sweep pass (the tiles are read ONCE in the backward).
+    ``fuse_dld=False`` (huge-N fallback): no dld output — the separate
+    row-sweep kernel produces it instead."""
+    if fuse_dld:
+        dld_ref, dls_acc, dv_acc = rest
+    else:
+        dld_ref, (dls_acc, dv_acc) = None, rest
     jb = pl.program_id(0)
     it = pl.program_id(1)  # row sweep is innermost here
+
+    if fuse_dld:
+        @pl.when((jb == 0) & (it == 0))
+        def _init_dld():
+            dld_ref[:] = jnp.zeros_like(dld_ref)
 
     @pl.when(it == 0)
     def _init():
@@ -284,14 +302,15 @@ def _bwd_col_kernel(counts_ref, rows_ref, tiles_ref, meta_ref, adj_ref,
     @pl.when(it < counts_ref[jb])
     def _compute():
         bn = adj_ref.shape[1]
-        sub = min(SUB, bn)
+        sub = min(bn, 2 * SUB) if dropout_p == 0.0 else min(SUB, bn)
+        rb = rows_ref[jb, it]
         for c in range(bn // sub):
             cs = slice(c * sub, (c + 1) * sub)
             on_edge = adj_ref[:, cs] != 0
             for h in range(k):
                 mask = (_tile_drop_keep(
                             on_edge.shape, dropout_p, meta_ref[0],
-                            rows_ref[jb, it] + meta_ref[1],
+                            rb + meta_ref[1],
                             jb * (bn // sub) + c,
                             meta_ref[2] + h, interpret)
                         if dropout_p > 0.0 else None)
@@ -304,11 +323,20 @@ def _bwd_col_kernel(counts_ref, rows_ref, tiles_ref, meta_ref, adj_ref,
                     c_agg, g_ref[:, h, :],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                if fuse_dld:
+                    cur = dld_ref[h, pl.ds(rb * bm, bm)]
+                    dld_ref[h, pl.ds(rb * bm, bm)] = cur + jnp.sum(dzs, axis=1)
 
     @pl.when(it == n_i - 1)
     def _fin():
         dls_ref[:] = dls_acc[:]
         dv_ref[:] = dv_acc[:]
+
+
+# the fused backward keeps the full (kp, n_rows) dld window resident in
+# VMEM across the whole grid; beyond this, fall back to a separate
+# row-sweep kernel for dld
+_FUSED_DLD_BYTES = 12 * 1024 * 1024
 
 
 def _flash_bwd(fcnt, fcol, ftile, bcnt, brow, btile, meta, tiles2d, ld, ls,
@@ -320,6 +348,44 @@ def _flash_bwd(fcnt, fcol, ftile, bcnt, brow, btile, meta, tiles2d, ld, ls,
     c_max = fcol.shape[1]
     r_max = brow.shape[1]
     n_jb = n_cols // bn
+
+    if kp * n_rows * 4 <= _FUSED_DLD_BYTES:
+        dls, dv, dld = pl.pallas_call(
+            functools.partial(_bwd_col_kernel, slope=slope, n_i=r_max, k=k,
+                              bm=bm, dropout_p=dropout_p, interpret=interpret),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(n_jb, r_max),
+                in_specs=[
+                    pl.BlockSpec((bm, bn), lambda jb, it, c, m, td, mt: (td[jb, it], 0)),
+                    pl.BlockSpec((kp, bm), lambda jb, it, c, m, td, mt: (0, m[jb, it])),
+                    pl.BlockSpec((kp, bn), lambda jb, it, c, m, td, mt: (0, jb)),
+                    pl.BlockSpec((bn, k, d), lambda jb, it, c, m, td, mt: (jb, 0, 0)),
+                    pl.BlockSpec((bm, k, d), lambda jb, it, c, m, td, mt: (m[jb, it], 0, 0)),
+                    pl.BlockSpec((kp, bm), lambda jb, it, c, m, td, mt: (0, m[jb, it])),
+                    pl.BlockSpec((kp, bm), lambda jb, it, c, m, td, mt: (0, m[jb, it])),
+                ],
+                out_specs=[
+                    pl.BlockSpec((kp, bn), lambda jb, it, c, m, td, mt: (0, jb)),
+                    pl.BlockSpec((bn, k, d), lambda jb, it, c, m, td, mt: (jb, 0, 0)),
+                    # dld: ONE full-width window, resident across the grid
+                    pl.BlockSpec((kp, n_rows), lambda jb, it, c, m, td, mt: (0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((kp, bn), jnp.float32),
+                    pltpu.VMEM((bn, k, d), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((kp, n_cols), jnp.float32),
+                jax.ShapeDtypeStruct((n_cols, k, d), jnp.float32),
+                jax.ShapeDtypeStruct((kp, n_rows), jnp.float32),
+            ],
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=interpret,
+        )(bcnt, brow, btile, meta, tiles2d, ld, ls, v, g, lse, delta)
+        return dld, dls, dv
 
     dld = pl.pallas_call(
         functools.partial(_bwd_row_kernel, slope=slope, n_j=c_max, k=k,
@@ -347,7 +413,8 @@ def _flash_bwd(fcnt, fcol, ftile, bcnt, brow, btile, meta, tiles2d, ld, ls,
 
     dls, dv = pl.pallas_call(
         functools.partial(_bwd_col_kernel, slope=slope, n_i=r_max, k=k,
-                          dropout_p=dropout_p, interpret=interpret),
+                          bm=bm, dropout_p=dropout_p, interpret=interpret,
+                          fuse_dld=False),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(n_jb, r_max),

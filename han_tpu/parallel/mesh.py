@@ -18,17 +18,22 @@ from jax.sharding import Mesh
 
 GRAPH_AXIS = "graph"
 HEAD_AXIS = "heads"
+MP_AXIS = "mp"  # meta-path (expert-parallel) axis — SURVEY.md §2.3 EP row
 
 
-def make_mesh(graph: int = 0, heads: int = 1, devices=None) -> Mesh:
-    """Build a (graph × heads) mesh. graph=0 → use all remaining devices."""
+def make_mesh(graph: int = 0, heads: int = 1, mp: int = 1, devices=None) -> Mesh:
+    """Build a (graph × heads) — or (mp × graph × heads) when mp > 1 —
+    mesh. graph=0 → use all remaining devices."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if graph == 0:
-        if n % heads:
-            raise ValueError(f"{n} devices not divisible by heads={heads}")
-        graph = n // heads
-    if graph * heads > n:
-        raise ValueError(f"mesh {graph}x{heads} exceeds {n} devices")
+        if n % (heads * mp):
+            raise ValueError(f"{n} devices not divisible by heads*mp={heads * mp}")
+        graph = n // (heads * mp)
+    if mp * graph * heads > n:
+        raise ValueError(f"mesh {mp}x{graph}x{heads} exceeds {n} devices")
+    if mp > 1:
+        devs = devices[: mp * graph * heads].reshape(mp, graph, heads)
+        return Mesh(devs, (MP_AXIS, GRAPH_AXIS, HEAD_AXIS))
     devs = devices[: graph * heads].reshape(graph, heads)
     return Mesh(devs, (GRAPH_AXIS, HEAD_AXIS))

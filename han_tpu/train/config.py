@@ -19,6 +19,7 @@ class ModelConfig:
     attn_drop: float = 0.6
     ffd_drop: float = 0.6
     impl: str = "auto"  # dense | ell | csr | flash (needs bcsr graphs) | auto
+    vmap_towers: bool = False  # meta-path EP: one vmapped tower stack
 
 
 @dataclasses.dataclass
@@ -43,13 +44,15 @@ class TrainConfig:
 
 @dataclasses.dataclass
 class MeshConfig:
-    """Device mesh axes: graph (edge/node shards) × heads (head/model shards).
+    """Device mesh axes: graph (edge/node shards) × heads (head/model
+    shards) × mp (meta-path expert parallelism).
 
     SURVEY.md §2.3/§5.8 — data-parallel PPI batching rides the graph axis.
     """
 
     graph_axis: int = 1
     head_axis: int = 1
+    mp_axis: int = 1
 
 
 @dataclasses.dataclass
@@ -88,6 +91,14 @@ def preset(name: str) -> Config:
     elif name == "powerlaw":
         cfg.data.graph_format = "csr"
         cfg.model.impl = "csr"
+    elif name in ("cora", "citeseer", "pubmed"):
+        # homogeneous citation graphs → GAT (GAT-paper hyperparams; the
+        # reference ships only the loader, utils/process.py:47-98)
+        cfg.model.arch = "gat"
+        cfg.train.l2_coef = 0.0005
+        if name == "pubmed":  # N=19717: dense N^2 is wasteful
+            cfg.data.graph_format = "bcsr"
+            cfg.model.impl = "flash"
     else:
         raise KeyError(f"no preset for dataset {name!r}")
     return cfg

@@ -81,7 +81,8 @@ def build_model(ds: HeteroDataset, cfg: Config) -> nn.Module:
                   residual=m.residual, attn_drop=m.attn_drop,
                   ffd_drop=m.ffd_drop, impl=m.impl)
     if m.arch == "han":
-        return HAN(n_classes=ds.n_classes, semantic_dim=m.semantic_dim, **common)
+        return HAN(n_classes=ds.n_classes, semantic_dim=m.semantic_dim,
+                   vmap_towers=m.vmap_towers, **common)
     if m.arch == "han_shared":
         return HANShared(n_classes=ds.n_classes, semantic_dim=m.semantic_dim, **common)
     if m.arch == "gat":
@@ -132,29 +133,50 @@ class MetricLogger:
 
 class Trainer:
     def __init__(self, ds: HeteroDataset, cfg: Config, *,
-                 logger: MetricLogger | None = None):
+                 logger: MetricLogger | None = None, guard=None):
         self.ds = ds
         self.cfg = cfg
+        # preemption flag polled at epoch boundaries (train/preempt.py)
+        self.guard = guard
         self.logger = logger or MetricLogger(cfg.train.log_file)
-        # multi-chip: a ('graph', 'heads') mesh drives the partitioned
-        # containers + sharded kernels (cfg.mesh; SURVEY.md §2.3/§5.8)
-        if cfg.mesh.graph_axis * cfg.mesh.head_axis > 1:
+        # multi-chip: a ('graph', 'heads'[, 'mp']) mesh drives the
+        # partitioned/stacked containers + sharded kernels (cfg.mesh;
+        # SURVEY.md §2.3/§5.8)
+        if cfg.mesh.graph_axis * cfg.mesh.head_axis * cfg.mesh.mp_axis > 1:
             from han_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(graph=cfg.mesh.graph_axis,
-                                  heads=cfg.mesh.head_axis)
+                                  heads=cfg.mesh.head_axis,
+                                  mp=cfg.mesh.mp_axis)
         else:
             self.mesh = None
-        self.graphs = build_graphs(ds, cfg)
+        # meta-path expert parallelism: vmapped tower stack over stacked
+        # graphs, P axis pinned to the 'mp' mesh axis (nn/models.py)
+        if cfg.mesh.mp_axis > 1:
+            if cfg.mesh.graph_axis > 1:
+                raise ValueError("mp_axis and graph_axis sharding cannot be "
+                                 "combined yet (stacked partitioned graphs)")
+            cfg.model.vmap_towers = True
+        self._ep = cfg.model.vmap_towers
+        if self._ep and cfg.model.arch != "han":
+            raise ValueError("vmap_towers requires arch='han'")
+        graphs = build_graphs(ds, cfg)
+        if self._ep:
+            from han_tpu.graph.stack import stack_graphs
+
+            self.graphs = stack_graphs(graphs)
+        else:
+            self.graphs = graphs
         self.model = build_model(ds, cfg)
         if cfg.data.featype == "adj":
             # ablation: each tower's input features are its meta-path's dense
             # adjacency rows (ex_acm3025.py:92-93 `fea_list = adj_list`)
-            self.xs = [jnp.asarray(a.toarray().astype(np.float32))
-                       for a in ds.metapath_adjs]
+            xs = [jnp.asarray(a.toarray().astype(np.float32))
+                  for a in ds.metapath_adjs]
         else:
             x = jnp.asarray(ds.features)
-            self.xs = [x for _ in self.graphs]
+            xs = [x for _ in ds.metapath_adjs]
+        self.xs = jnp.stack(xs) if self._ep else xs
         self.labels = jnp.asarray(ds.labels)
         self.masks = {
             "train": jnp.asarray(ds.train_mask),
@@ -184,7 +206,7 @@ class Trainer:
 
     def _build_steps(self):
         l2c = self.cfg.train.l2_coef
-        n_mp = len(self.graphs)
+        n_mp = len(self.ds.metapath_adjs)
 
         def train_step(params, opt_state, rng, graphs, xs, labels, mask):
             rng, sub = jax.random.split(rng)
@@ -311,6 +333,17 @@ class Trainer:
                                  "best_val_loss": es.best_val_loss,
                                  "best_val_acc": es.best_val_acc})
                 break
+            if self.guard is not None and self.guard.triggered:
+                # preemption (SURVEY.md §5.3): persist the full resume
+                # state now and stop cleanly; fit(resume=True) continues
+                # the exact trajectory
+                mgr.save(epoch, args=self._save_args(
+                    params, opt_state, rng, es, epoch, best_step))
+                mgr.wait_until_finished()
+                self.logger.log({"preempted_at": epoch})
+                self.final_params = params
+                return {"preempted": True,
+                        "train_time_s": time.time() - t_start}
         mgr.wait_until_finished()
 
         # restore best & final evaluation (ex_acm3025.py:247-291)

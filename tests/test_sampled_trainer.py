@@ -2,6 +2,8 @@
 full-graph path, static batch shapes (single compile), and learning on a
 planted graph — the >HBM scale path of SURVEY.md §2.3 / BASELINE.json."""
 
+import tempfile
+
 import jax
 import numpy as np
 import pytest
@@ -24,6 +26,7 @@ def make_trainer(ds, **over):
     cfg.train.epochs = over.pop("epochs", 5)
     cfg.train.patience = 50
     cfg.train.log_file = ""
+    cfg.train.checkpoint_dir = over.pop("checkpoint_dir", tempfile.mkdtemp())
     cfg.model.hid_units = [8]
     cfg.model.n_heads = [4, 1]
     cfg.model.attn_drop = 0.0
@@ -132,6 +135,7 @@ def test_dp_sampled_training_learns(small_ds):
     cfg.train.epochs = 20
     cfg.train.patience = 50
     cfg.train.log_file = ""
+    cfg.train.checkpoint_dir = tempfile.mkdtemp()
     cfg.model.hid_units = [8]
     cfg.model.n_heads = [4, 1]
     cfg.model.attn_drop = 0.0
@@ -174,3 +178,65 @@ def test_two_hop_sampled_exactness(small_ds):
     np.testing.assert_allclose(
         np.asarray(block_logits)[:8], np.asarray(full_logits)[seeds],
         rtol=2e-4, atol=1e-5)
+
+
+class _TripAfter:
+    """Fault injection: quacks like PreemptionGuard, fires after n polls
+    (the trainer polls once per trained batch)."""
+
+    def __init__(self, n):
+        self.left = n
+
+    @property
+    def triggered(self):
+        self.left -= 1
+        return self.left < 0
+
+
+def test_sampled_resume_reproduces_trajectory(small_ds, tmp_path):
+    """Kill sampled training MID-EPOCH, resume from the batch cursor in a
+    fresh trainer: the continued run emits exactly the uninterrupted
+    trajectory and final result (SURVEY.md §5.3-5.4; VERDICT item 5)."""
+    from han_tpu.train.trainer import MetricLogger
+
+    class Cap(MetricLogger):
+        def __init__(self):
+            super().__init__("", echo=False)
+            self.rows = []
+
+        def log(self, rec):
+            self.rows.append(rec)
+
+    def rows(cap):
+        return [(r["epoch"], r["train_loss"], r["val_loss"]) for r in cap.rows
+                if "train_loss" in r]
+
+    ckpt = str(tmp_path / "ck")
+    cap_a = Cap()
+    a = make_trainer(small_ds, batch_size=16, fanout=6, epochs=4,
+                     checkpoint_dir=str(tmp_path / "ref"), logger=cap_a)
+    res_a = a.fit()
+
+    # interrupted run: preempt mid-epoch-1 (epoch 0 has ceil(48/16)=3 batches)
+    cap_b = Cap()
+    b = make_trainer(small_ds, batch_size=16, fanout=6, epochs=4,
+                     checkpoint_dir=ckpt, logger=cap_b,
+                     guard=_TripAfter(4))
+    res_b = b.fit()
+    assert res_b.get("preempted") is True
+    assert len(rows(cap_b)) == 1  # finished epoch 0 only
+
+    # fresh-process stand-in: new trainer, resume from the batch cursor
+    cap_c = Cap()
+    c = make_trainer(small_ds, batch_size=16, fanout=6, epochs=4,
+                     checkpoint_dir=ckpt, logger=cap_c)
+    res_c = c.fit(resume=True)
+
+    ra, rc = rows(cap_a), rows(cap_c)
+    assert [e for e, *_ in rc] == [1, 2, 3]  # resumed inside epoch 1
+    for (ea, la, va), (ec, lc, vc) in zip(ra[1:], rc):
+        assert ea == ec
+        np.testing.assert_allclose(la, lc, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(va, vc, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(res_c["test_loss"], res_a["test_loss"], rtol=1e-6)
+    assert res_c["best_epoch"] == res_a["best_epoch"]
