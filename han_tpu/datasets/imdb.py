@@ -5,9 +5,20 @@ HAN setup (han.pdf Table 2 / §5.2): movies labeled by genre
 director); features = bag-of-words over plot keywords; split 300/300/rest.
 
 The reference ships only the raw ``movie_metadata.csv`` (data/imdb/) with no
-preprocessing code, so this loader defines the canonical pipeline: keep
-movies whose genre list contains exactly one of the three target genres
-(unambiguous label), with a named director and at least one named actor.
+preprocessing code, so this loader defines the canonical pipeline. Movies
+whose genre list hits any target genre are labeled by GENRES priority
+order (Action > Comedy > Drama). Two subsets:
+
+- ``subset="strict"``: require a named director and >=1 named actor,
+  dedupe by (title, director) → 4,180 movies;
+- ``subset="all"``: keep every genre-hit movie (rows without a director
+  simply have no MDM edges) → 4,380 movies.
+
+The paper's 4,780 (han.pdf Table 2) is NOT reachable from the shipped
+CSV under any filter combination (measured: genre-hit only = 4,380;
+genre-hit deduped = 4,280; +director/actor = 4,278; strict = 4,180) —
+the paper evidently used a different IMDB-5000 dump. results/PARITY.md
+records both subsets' scores.
 """
 
 from __future__ import annotations
@@ -30,8 +41,10 @@ def load_imdb(
     min_keyword_count: int = 2,
     seed: int = 0,
     use_cache: bool = True,
+    subset: str = "strict",  # "strict" (4,180) | "all" (4,380)
 ) -> HeteroDataset:
-    cached = load_cached(cache_path("imdb")) if use_cache else None
+    cache_name = "imdb" if subset == "strict" else f"imdb_{subset}"
+    cached = load_cached(cache_path(cache_name)) if use_cache else None
     if cached is not None:
         return cached
 
@@ -49,24 +62,25 @@ def load_imdb(
             actors = [a.strip() for a in (
                 row.get("actor_1_name"), row.get("actor_2_name"), row.get("actor_3_name"))
                 if a and a.strip()]
-            if not director or not actors:
+            if subset == "strict" and (not director or not actors):
                 continue
             kws = [k.strip() for k in (row.get("plot_keywords") or "").split("|") if k.strip()]
             title = (row.get("movie_title") or "").strip()
             movies.append((title, GENRES.index(hits[0]), director, actors, kws))
 
-    # dedupe by (title, director)
-    seen = set()
-    uniq = []
-    for m in movies:
-        key = (m[0], m[2])
-        if key not in seen:
-            seen.add(key)
-            uniq.append(m)
-    movies = uniq
+    if subset == "strict":
+        # dedupe by (title, director)
+        seen = set()
+        uniq = []
+        for m in movies:
+            key = (m[0], m[2])
+            if key not in seen:
+                seen.add(key)
+                uniq.append(m)
+        movies = uniq
     n = len(movies)
 
-    directors = sorted({m[2] for m in movies})
+    directors = sorted({m[2] for m in movies if m[2]})
     d_index = {d: i for i, d in enumerate(directors)}
     actors = sorted({a for m in movies for a in m[3]})
     a_index = {a: i for i, a in enumerate(actors)}
@@ -84,7 +98,7 @@ def load_imdb(
         return mat
 
     ma = incidence(a_index, lambda m: m[3])
-    md = incidence(d_index, lambda m: [m[2]])
+    md = incidence(d_index, lambda m: [m[2]] if m[2] else [])
     mam = (ma @ ma.T).tocsr()
     mdm = (md @ md.T).tocsr()
     adjs = []
@@ -128,5 +142,5 @@ def load_imdb(
         metapath_names=("MAM", "MDM"),
     )
     if use_cache:
-        save_dataset(ds, cache_path("imdb"))
+        save_dataset(ds, cache_path(cache_name))
     return ds

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from han_tpu.graph.containers import CSRGraph, DenseGraph, EllGraph, MASK_VALUE
 
-Impl = Literal["auto", "dense", "ell", "csr", "flash"]
+Impl = Literal["auto", "dense", "ell", "ell_fused", "csr", "flash"]
 
 
 def leaky_relu(x: jax.Array, slope: float) -> jax.Array:
@@ -222,6 +222,15 @@ def attention_aggregate(
             graph, fts, logit_dst, logit_src, slope=slope,
             coef_dropout=coef_dropout, dropout_rng=dropout_rng,
         )
+    if type(graph).__name__ == "PartitionedCSR2D":
+        from han_tpu.parallel.ring_attn import ring_attention
+
+        if return_coefs:
+            raise NotImplementedError("return_coefs unsupported on PartitionedCSR2D")
+        return ring_attention(
+            graph, fts, logit_dst, logit_src, slope=slope,
+            coef_dropout=coef_dropout, dropout_rng=dropout_rng,
+        )
     if impl == "auto":
         if isinstance(graph, DenseGraph):
             impl = "dense"
@@ -246,6 +255,14 @@ def attention_aggregate(
             graph, fts, logit_dst, logit_src, slope=slope,
             coef_dropout=coef_dropout, dropout_rng=dropout_rng,
         )
+    if impl == "ell_fused":
+        from han_tpu.ops.pallas.ell_fused import ell_fused_attention
+
+        if coef_dropout > 0.0:
+            raise NotImplementedError(
+                "ell_fused has no fused coefficient dropout; use impl='ell' "
+                "or 'flash' for training with attn_drop > 0")
+        return ell_fused_attention(graph, fts, logit_dst, logit_src, slope=slope)
     if impl == "csr":
         return csr_attention(
             graph, fts, logit_dst, logit_src, slope=slope,

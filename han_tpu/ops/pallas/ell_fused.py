@@ -10,8 +10,15 @@ round-trip per layer — the XLA ell path materializes the gathered
 
 Status: relies on Mosaic's dynamic-gather lowering for ``jnp.take`` along
 the sublane axis; validated in interpreter mode everywhere and compiled on
-TPU where supported (ops/attention dispatch falls back to the XLA ell path
-if compilation is unavailable).
+TPU where supported. Reachable through ``attention_aggregate(...,
+impl="ell_fused")``.
+
+Backward: a custom VJP in the edge/segment domain (XLA segment ops — the
+gradients need scatter-adds into source rows, which TPU Pallas has no
+efficient primitive for; the fused kernel is the inference/forward hot
+path, the backward shares the csr path's well-fused XLA scatter lowering).
+Derivation mirrors flash_gat: with c = softmax(masked lrelu(ld_i + ls_j)),
+dz = c·(g·v − Σ_f c·(g·v)); dld row-sum, dls/dv scatter over ELL slots.
 """
 
 from __future__ import annotations
@@ -57,6 +64,65 @@ def _kernel(nbr_ref, ld_ref, ls_ref, fts_ref, out_ref, *, slope: float,
     out_ref[:] = out.reshape(bm, k * dp)
 
 
+def _ell_coefs(nbr, valid, logit_dst, logit_src, slope):
+    """(N, F, K) softmax coefficients + raw logits (shared fwd/bwd math)."""
+    k = logit_dst.shape[1]
+    ls_pad = jnp.concatenate([logit_src, jnp.zeros((1, k), logit_src.dtype)],
+                             axis=0)
+    raw = logit_dst[:, None, :] + ls_pad[nbr]          # (N, F, K)
+    z = jnp.where(raw >= 0, raw, slope * raw)
+    z = jnp.where(valid[:, :, None], z, MASK_VALUE)
+    m = jnp.max(z, axis=1, keepdims=True)
+    e = jnp.where(valid[:, :, None], jnp.exp(z - m), 0.0)
+    denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+    return e / denom, raw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ell_fused_core(nbr, fts, logit_dst, logit_src, slope, block_m, interpret):
+    return _ell_fused_fwd_call(nbr, fts, logit_dst, logit_src,
+                               slope=slope, block_m=block_m,
+                               interpret=interpret)
+
+
+def _ell_fused_core_fwd(nbr, fts, logit_dst, logit_src, slope, block_m,
+                        interpret):
+    out = _ell_fused_fwd_call(nbr, fts, logit_dst, logit_src, slope=slope,
+                              block_m=block_m, interpret=interpret)
+    return out, (nbr, fts, logit_dst, logit_src)
+
+
+def _ell_fused_core_bwd(slope, block_m, interpret, res, g):
+    import numpy as np
+
+    nbr, fts, logit_dst, logit_src = res
+    n, k, d = fts.shape
+    f = nbr.shape[1]
+    valid = nbr < n
+    safe = jnp.where(valid, nbr, n)
+    coefs, raw = _ell_coefs(nbr, valid, logit_dst, logit_src, slope)
+
+    fts_pad = jnp.concatenate([fts, jnp.zeros((1, k, d), fts.dtype)], axis=0)
+    gv = jnp.einsum("nkd,nfkd->nfk", g, fts_pad[safe])      # g_i · v_j
+    dz = coefs * (gv - jnp.sum(coefs * gv, axis=1, keepdims=True))
+    dz = dz * jnp.where(raw >= 0, 1.0, slope)
+    dz = jnp.where(valid[:, :, None], dz, 0.0)
+
+    dld = jnp.sum(dz, axis=1)                               # (N, K)
+    flat = safe.reshape(-1)                                 # (N*F,)
+    dls = jax.ops.segment_sum(dz.reshape(n * f, k), flat,
+                              num_segments=n + 1)[:n]
+    dv = jax.ops.segment_sum(
+        (coefs[..., None] * g[:, None, :, :]).reshape(n * f, k, d),
+        flat, num_segments=n + 1)[:n]
+    d_nbr = np.zeros(nbr.shape, dtype=jax.dtypes.float0)
+    return d_nbr, dv.astype(fts.dtype), dld.astype(logit_dst.dtype), \
+        dls.astype(logit_src.dtype)
+
+
+_ell_fused_core.defvjp(_ell_fused_core_fwd, _ell_fused_core_bwd)
+
+
 def ell_fused_attention(
     graph: EllGraph,
     fts: jax.Array,       # (N, K, D)
@@ -69,12 +135,26 @@ def ell_fused_attention(
 ):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _ell_fused_core(graph.nbr, fts, logit_dst, logit_src,
+                           slope, block_m, interpret)
+
+
+def _ell_fused_fwd_call(
+    nbr_arr: jax.Array,
+    fts: jax.Array,       # (N, K, D)
+    logit_dst: jax.Array,  # (N, K)
+    logit_src: jax.Array,  # (N, K)
+    *,
+    slope: float = 0.2,
+    block_m: int = 128,
+    interpret: bool = False,
+):
     n, k, d = fts.shape
-    f = graph.fanout
+    f = int(nbr_arr.shape[1])
     n_pad = _round_up(n, block_m)
     dp = d  # lane padding handled by the flattened K*D axis
 
-    nbr = jnp.pad(graph.nbr, ((0, n_pad - n), (0, 0)), constant_values=n)
+    nbr = jnp.pad(nbr_arr, ((0, n_pad - n), (0, 0)), constant_values=n)
     ld = jnp.pad(logit_dst.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
     ls = jnp.pad(logit_src.astype(jnp.float32), ((0, 1), (0, 0)))  # +sentinel row
     fts_flat = jnp.pad(

@@ -101,10 +101,11 @@ def partition_csr_2d(csr: CSRGraph, n_shards: int, *, pad_to: int = 128) -> Part
 
 
 def _local_ring(row_local, col_local, col_global, fts_blk, ld_blk, ls_full,
-                *, n_nodes: int, n_loc: int, n_shards: int, slope: float):
+                seed, *, n_nodes: int, n_loc: int, n_shards: int,
+                slope: float, coef_dropout: float):
     """Per-shard body. Shapes (leading sharded dims already squeezed):
     row_local/col_local/col_global (S, E2); fts_blk (n_loc, K, D);
-    ld_blk (n_loc, K); ls_full (N, K) replicated."""
+    ld_blk (n_loc, K); ls_full (N, K) replicated; seed (1,) int32."""
     s = jax.lax.axis_index(GRAPH_AXIS)
     k = fts_blk.shape[1]
     d = fts_blk.shape[2]
@@ -147,6 +148,15 @@ def _local_ring(row_local, col_local, col_global, fts_blk, ld_blk, ls_full,
         le = leaky_relu(ld_pad[rl] + ls_pad[cg], slope)
         e = jnp.where(valid[:, None], jnp.exp(le - m[rl]), 0.0)
         coefs = e / jnp.maximum(denom[rl], 1e-30)  # (E2, K)
+        if coef_dropout > 0.0:
+            # reference order: softmax first, dropout on the coefficients
+            # (layers.py:27-30); per-(dst shard, src shard, head axis) stream
+            hi = jax.lax.axis_index(HEAD_AXIS)
+            key = jax.random.fold_in(jax.random.fold_in(jax.random.fold_in(
+                jax.random.PRNGKey(seed[0]), s), src_shard), hi)
+            keep = 1.0 - coef_dropout
+            mask = jax.random.bernoulli(key, keep, coefs.shape)
+            coefs = jnp.where(mask, coefs / keep, 0.0)
         blk_pad = jnp.concatenate([blk, jnp.zeros((1, k, d), blk.dtype)], axis=0)
         vals = coefs[:, :, None] * blk_pad[jnp.minimum(cl, n_loc)]
         acc = acc + jax.ops.segment_sum(vals, rl, num_segments=n_seg)[:n_loc]
@@ -168,23 +178,33 @@ def ring_attention(
     *,
     mesh=None,
     slope: float = 0.2,
+    coef_dropout: float = 0.0,
+    dropout_rng: jax.Array | None = None,
 ):
     if mesh is None:
         mesh = jax.sharding.get_abstract_mesh()
         if mesh is None or mesh.empty:
             raise ValueError("ring_attention needs a mesh (pass mesh=...)")
+    if coef_dropout > 0.0 and dropout_rng is None:
+        raise ValueError("coef_dropout > 0 requires dropout_rng")
     n, k, d = fts.shape
     s = graph.n_shards
     n_pad = s * graph.n_loc
 
     fts_p = jnp.pad(fts, ((0, n_pad - n), (0, 0), (0, 0)))
     ld_p = jnp.pad(logit_dst, ((0, n_pad - n), (0, 0)))
+    if coef_dropout > 0.0:
+        seed = jax.random.randint(
+            dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
 
     local = partial(_local_ring, n_nodes=graph.n_nodes, n_loc=graph.n_loc,
-                    n_shards=s, slope=slope)
+                    n_shards=s, slope=slope, coef_dropout=coef_dropout)
 
     out_padded = shard_map(
-        lambda rl, cl, cg, f, ldb, lsf: local(rl[0], cl[0], cg[0], f, ldb, lsf),
+        lambda rl, cl, cg, f, ldb, lsf, sd: local(rl[0], cl[0], cg[0], f,
+                                                  ldb, lsf, sd),
         mesh=mesh,
         in_specs=(
             P(GRAPH_AXIS, None, None),       # row_local  (S, S, E2)
@@ -193,9 +213,10 @@ def ring_attention(
             P(GRAPH_AXIS, HEAD_AXIS, None),  # fts blocks (N_pad, K, D)
             P(GRAPH_AXIS, HEAD_AXIS),        # logit_dst  (N_pad, K)
             P(None, HEAD_AXIS),              # logit_src  (N, K) replicated
+            P(None),                         # dropout seed
         ),
         out_specs=P(GRAPH_AXIS, HEAD_AXIS, None),
     )(graph.row_local, graph.col_local, graph.col_global, fts_p, ld_p,
-      logit_src)
+      logit_src, seed)
 
     return out_padded[:n]

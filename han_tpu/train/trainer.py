@@ -58,9 +58,18 @@ def build_graphs(ds: HeteroDataset, cfg: Config):
                         metapath_to_csr(a, edge_pad_to=cfg.data.edge_pad_to),
                         shards, edge_pad_to=cfg.data.edge_pad_to)
                     for a in ds.metapath_adjs]
+        if fmt == "ring":
+            # memory-scalable variant: features stay sharded, blocks rotate
+            # over ICI (parallel/ring_attn.py)
+            from han_tpu.parallel.ring_attn import partition_csr_2d
+
+            return [partition_csr_2d(
+                        metapath_to_csr(a, edge_pad_to=cfg.data.edge_pad_to),
+                        shards, pad_to=cfg.data.edge_pad_to)
+                    for a in ds.metapath_adjs]
         raise ValueError(
             f"graph_format {fmt!r} has no partitioned variant "
-            "(use bcsr for the flash kernel or csr for segment ops)")
+            "(use bcsr for the flash kernel, csr for segment ops, or ring)")
     if fmt == "dense":
         return [metapath_to_dense(a) for a in ds.metapath_adjs]
     if fmt == "bcsr":
