@@ -41,7 +41,7 @@ def load_imdb(
     min_keyword_count: int = 2,
     seed: int = 0,
     use_cache: bool = True,
-    subset: str = "strict",  # "strict" (4,180) | "all" (4,380)
+    subset: str = "all",  # "all" (4,380, better micro-F1) | "strict" (4,180)
 ) -> HeteroDataset:
     cache_name = "imdb" if subset == "strict" else f"imdb_{subset}"
     cached = load_cached(cache_path(cache_name)) if use_cache else None

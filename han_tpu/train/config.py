@@ -77,7 +77,7 @@ def preset(name: str) -> Config:
         # the csr segment-op path measured 52x slower — PARITY.md)
         cfg.data.graph_format = "bcsr"
         cfg.model.impl = "flash"
-    elif name == "imdb":
+    elif name in ("imdb", "imdb_strict"):
         pass
     elif name == "ppi":
         cfg.model.arch = "gat"

@@ -196,7 +196,13 @@ class SampledTrainer:
         return self.model.init(rng, *args)
 
     def evaluate(self, params, idx: np.ndarray, *, epoch: int = 0):
-        """Exact masked loss/accuracy over ``idx`` via sampled blocks."""
+        """Masked loss/accuracy over ``idx`` via SAMPLED blocks: every node
+        in ``idx`` is scored exactly once, but its logits see only the
+        bounded-fanout sampled neighborhood (deterministic in ``epoch``),
+        not the full graph — i.e. sampled evaluation, the standard
+        trade-off for >HBM graphs. With ``fanout >= max degree`` the
+        blocks are the full neighborhoods and the metric is exact
+        (tests/test_sampled_trainer.py::test_seed_rows_match_full_graph)."""
         tot_l = tot_c = tot_n = 0.0
         for bi, (seeds, valid) in enumerate(
                 self._seed_batches(idx, shuffle=False, epoch=0)):

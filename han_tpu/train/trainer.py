@@ -186,6 +186,7 @@ class Trainer:
             x = jnp.asarray(ds.features)
             xs = [x for _ in ds.metapath_adjs]
         self.xs = jnp.stack(xs) if self._ep else xs
+        self._total_edges = int(sum(a.nnz for a in ds.metapath_adjs))
         self.labels = jnp.asarray(ds.labels)
         self.masks = {
             "train": jnp.asarray(ds.train_mask),
@@ -320,11 +321,16 @@ class Trainer:
             vl_loss, vl_acc, _, _ = self.eval_step(params, self.masks["val"])
             tr_loss, tr_acc = float(tr_loss), float(tr_acc)
             vl_loss, vl_acc = float(vl_loss), float(vl_acc)
+            step_time = time.time() - t0
             self.logger.log({
                 "epoch": epoch, "train_loss": tr_loss, "train_acc": tr_acc,
                 "val_loss": vl_loss, "val_acc": vl_acc,
                 "semantic_alphas": [round(float(a), 4) for a in np.asarray(alphas)],
-                "step_time_s": round(time.time() - t0, 4),
+                "step_time_s": round(step_time, 4),
+                # throughput counter (SURVEY.md §5.1/§5.5): real meta-path
+                # edges × heads processed per second this epoch
+                "edges_per_s": round(self._total_edges *
+                                     self.cfg.model.n_heads[0] / step_time, 1),
             })
             ckpt, _ = es.update(vl_loss, vl_acc)
             periodic = cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0
@@ -363,6 +369,11 @@ class Trainer:
             "best_epoch": best["epoch"],
             "train_time_s": time.time() - t_start,
         }
+        from han_tpu.utils.prof import device_memory_stats
+
+        hbm = [s.get("bytes_in_use") for s in device_memory_stats()]
+        if any(b is not None for b in hbm):
+            result["hbm_bytes_in_use"] = [b for b in hbm if b is not None]
         if self._is_han:
             emb = np.asarray(embed)[np.asarray(self.ds.test_mask)]
             lab = self.ds.labels[self.ds.test_mask]
