@@ -96,9 +96,10 @@ def main(argv=None):
     train_idx = np.where(ds.train_mask)[0]
     params = None
     # timed loop: one epoch over --steps batches with prefetch, exactly as fit()
-    batches = trainer._prefetched(
-        trainer._seed_batches(train_idx, shuffle=True, epoch=0), lambda bi: bi)
-    first = next(batches)
+    batches = trainer._prefetched_indexed(
+        enumerate(trainer._seed_batches(train_idx, shuffle=True, epoch=0)),
+        lambda bi: bi)
+    _, first = next(batches)
     graphs, xs, lbl, mask = first
     p_args = (graphs, xs) if trainer._is_han else (graphs[0], xs[0])
     params = trainer.model.init(jax.random.PRNGKey(0), *p_args)
@@ -115,7 +116,7 @@ def main(argv=None):
     n_steps = 0
     loss = out[3]
     step_times = []
-    for graphs, xs, lbl, mask in batches:
+    for _, (graphs, xs, lbl, mask) in batches:
         ts = time.perf_counter()
         params, opt_state, step_rng, loss, acc = trainer._train_step(
             params, opt_state, step_rng, graphs, xs, lbl, mask)
