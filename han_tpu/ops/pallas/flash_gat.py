@@ -215,9 +215,10 @@ def _head_dz(on_edge, ld, ls, lse, delta, g_h, v_h, slope,
              drop_mask=None):
     raw = ld[:, None] + ls[None, :]
     z = jnp.where(raw >= 0, raw, slope * raw)
-    z = jnp.where(on_edge, z, MASK_VALUE)
-    c = jnp.exp(z - lse[:, None])
-    c = jnp.where(on_edge, c, 0.0)  # rows with no edges: lse=-1e9 → exp(0)=1
+    # no separate z mask: off-edge exp may overflow to +inf (edgeless rows
+    # have lse = -1e9) but the select zeroes it before any multiply — one
+    # fewer VPU pass over the (bm, sub) strip
+    c = jnp.where(on_edge, jnp.exp(z - lse[:, None]), 0.0)
     if drop_mask is not None:
         # replayed forward mask (same per-tile/head seed)
         c_agg = c * drop_mask

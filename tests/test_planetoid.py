@@ -31,9 +31,14 @@ def write_fixture(root, name, *, n_train=8, n_val_extra=12, n_test=10,
     x = allx[:n_train]
     ally = onehot(n_allx)
     y = ally[:n_train]
-    # tx rows carry their own global id in feature 0 → reorder is checkable
-    tx_dense = rng.random((len(present), n_feats)).astype(np.float32)
-    tx_dense[:, 0] = present
+    # reference format (process.py:47-61): tx rows appear in test.index
+    # FILE order — tx row i belongs to node test_index[i]. Rows encode
+    # their node id as the f1/f0 ratio (invariant under the loader's row
+    # normalization) so the reorder is checkable.
+    shuffled = rng.permutation(present)
+    tx_dense = np.zeros((len(present), n_feats), np.float32)
+    tx_dense[:, 0] = 1.0
+    tx_dense[:, 1] = shuffled / 100.0
     tx = sp.csr_matrix(tx_dense)
     ty = onehot(len(present))
 
@@ -52,7 +57,6 @@ def write_fixture(root, name, *, n_train=8, n_val_extra=12, n_test=10,
                      ("allx", allx), ("ally", ally), ("graph", graph)]:
         with open(root / f"ind.{name}.{key}", "wb") as f:
             pickle.dump(obj, f)
-    shuffled = rng.permutation(present) if gaps else rng.permutation(test_ids)
     with open(root / f"ind.{name}.test.index", "w") as f:
         f.write("\n".join(str(int(i)) for i in shuffled) + "\n")
     return test_ids, present, shuffled
@@ -70,18 +74,11 @@ def test_planetoid_loads_and_reorders(tmp_path):
     assert ds.train_mask.sum() == 8
     assert ds.test_mask.sum() == 10
     assert not (ds.train_mask & ds.test_mask).any()
-    # the tx shard is written to the SHUFFLED positions: feature 0 of each
-    # test row must equal the row's own global id after the reorder
-    # (features are row-normalized; compare against the normalized value)
-    raw = np.zeros(n)
-    raw[test_ids] = test_ids  # tx feature 0 carried the global id
-    got = ds.features[test_ids, 0]
-    ref = []
-    for t in test_ids:
-        # undo row normalization using the loader's own row sums
-        ref.append(t)
-    # reconstruct: feature0 / rowsum == id / rowsum → compare ratios
-    assert np.all(got > 0)
+    # the tx shard arrives in SHUFFLED test.index order; after the loader's
+    # reorder, row t must be the tx row that encoded id t (f1/f0 ratio is
+    # invariant under row normalization)
+    got_ids = 100.0 * ds.features[test_ids, 1] / ds.features[test_ids, 0]
+    np.testing.assert_allclose(got_ids, test_ids, atol=1e-3)
 
 
 def test_planetoid_citeseer_isolated_nodes(tmp_path):
@@ -107,6 +104,32 @@ def test_registry_and_trainer_smoke(tmp_path):
 
     cfg = preset("cora")
     assert cfg.model.arch == "gat"
+    cfg.train.epochs = 2
+    cfg.train.patience = 10
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.model.n_heads = (2, 1)
+
+    class Cap(MetricLogger):
+        def __init__(self):
+            super().__init__("", echo=False)
+            self.rows = []
+
+        def log(self, rec):
+            self.rows.append(rec)
+
+    res = Trainer(ds, cfg, logger=Cap()).fit()
+    assert np.isfinite(res["test_loss"])
+
+
+def test_pubmed_preset_gat_on_flash(tmp_path):
+    """pubmed preset = homogeneous GAT over the bcsr/flash backend."""
+    write_fixture(tmp_path, "pubmed")
+    ds = load_planetoid(tmp_path, "pubmed")
+    from han_tpu.train.config import preset
+    from han_tpu.train.trainer import MetricLogger, Trainer
+
+    cfg = preset("pubmed")
+    assert cfg.model.arch == "gat" and cfg.model.impl == "flash"
     cfg.train.epochs = 2
     cfg.train.patience = 10
     cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
