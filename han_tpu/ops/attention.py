@@ -19,7 +19,14 @@ Implementations:
 - ``csr``    — COO/segment-domain: SDDMM → segment-softmax → SpMM via XLA
                segment ops; O(E) memory; the behavioral spec for the Pallas
                kernels.
-- ``flash``  — fused block-sparse Pallas flash-GAT kernel (ops/pallas).
+- ``ell_fused`` — Pallas in-VMEM-gather forward over ELLPACK lists with a
+               segment-op custom-VJP backward (ops/pallas/ell_fused.py).
+- ``flash``  — fused block-sparse Pallas flash-GAT kernel over the occupied
+               tiles of a BCSRGraph (ops/pallas/flash_gat.py).
+
+Distributed containers dispatch directly on type: PartitionedBCSR →
+per-shard flash under shard_map, PartitionedCSR → sharded segment ops,
+PartitionedCSR2D → ring halo exchange (parallel/).
 
 All take features in head-major layout ``fts: (N, K, D)`` and per-head node
 logit terms ``logit_dst, logit_src: (N, K)`` and return ``(N, K, D)``.
