@@ -27,7 +27,6 @@ bitwise-comparable (up to float reduction order) to single-chip
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
