@@ -19,6 +19,13 @@ import jax
 
 
 def main():
+    import os
+
+    # HAN_TPU_PLATFORM=cpu forces the virtual-device CPU mesh (the axon TPU
+    # plugin re-registers itself even under JAX_PLATFORMS=cpu; the config
+    # update is the authoritative switch — see conftest.py)
+    if os.environ.get("HAN_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["HAN_TPU_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       str(pathlib.Path(__file__).parent.parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
