@@ -33,10 +33,32 @@ import numpy as np
 # (jax-ml.github.io/scaling-book numbers for TPU v5e)
 HBM_BW = 819e9          # bytes/s
 MXU_F32 = 49e12         # FLOP/s (fp32 accum path)
-VPU_F32 = 4e12          # elementwise f32 ops/s (8x128 lanes x 4 ALUs ~940MHz)
-FWD_VPU_OPS = 8.0       # per adjacency-tile element per head (add, lrelu,
-                        # mask, max, exp, sum, scale-accumulate — measured mix)
-BWD_VPU_OPS = 14.0      # backward recomputes z/c and forms dz twice (row+col)
+# Compute-side SoL: MEASURED per-(head, strip) times of the kernel's exact
+# inner-loop math on a resident VMEM strip (scripts/cal_vpu.py writes
+# results/CALIBRATION.json; r2's assumed 8/14 ops @ 4e12 ops/s model was
+# ~2.5x too optimistic — the v5e VPU sustains ~0.5e12 fused f32
+# elementwise passes/s on (512, 2048) strips, see results/ROOFLINE.md).
+_CAL_FALLBACK = {  # measured 2026-08-20 on TPU v5 lite (axon), bm=512 sub=2048
+    "elems_per_strip": 512 * 2048,
+    "fwd_strip_s_mxu": 4.72e-6,
+    "bwd_strip_s_mxu": 7.30e-6,
+}
+
+
+def load_calibration():
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "CALIBRATION.json")
+    try:
+        with open(path) as f:
+            cal = json.load(f)
+        if {"elems_per_strip", "fwd_strip_s_mxu",
+                "bwd_strip_s_mxu"} <= set(cal):
+            return cal
+    except (OSError, ValueError):
+        pass
+    return dict(_CAL_FALLBACK)
 
 
 def median_time(fn_many, *args, warmup=2, reps=20, outer=5):
@@ -48,9 +70,15 @@ def median_time(fn_many, *args, warmup=2, reps=20, outer=5):
     device→host round trip costs ~28 ms, so per-op latency must be
     measured as the marginal cost of extra in-graph iterations.
     """
+    # first call compiles: Pallas kernels go through the remote Mosaic
+    # compile service in this environment, which can take tens of seconds
+    # per program — keep stderr alive so a long compile isn't read as a hang
+    print("#   compiling + warmup (first Pallas compile can take ~30-60s "
+          "per program)...", file=sys.stderr, flush=True)
     for _ in range(warmup):
         float(fn_many(*args, 1))
         float(fn_many(*args, reps))
+    print("#   compiled; timing", file=sys.stderr, flush=True)
     t1 = min(_timed(fn_many, *args, 1) for _ in range(outer))
     tr = min(_timed(fn_many, *args, reps) for _ in range(outer))
     return max((tr - t1) / (reps - 1), 1e-9)
@@ -188,19 +216,24 @@ def main(argv=None):
 
     if args.impl == "flash" and bcsr_graphs is not None:
         # speed-of-light models (see module docstring / results/ROOFLINE.md)
+        cal = load_calibration()
         tile_area = sum(g.n_tiles * g.bm * g.bn for g in bcsr_graphs)
-        vpu_ops = FWD_VPU_OPS if args.fwd_only else FWD_VPU_OPS + BWD_VPU_OPS
-        mxu_mults = 1 if args.fwd_only else 3  # fwd pv; bwd gv + dv
-        t_tile_compute = max(tile_area * k * vpu_ops / VPU_F32,
-                             tile_area * k * 2 * d * mxu_mults / MXU_F32)
-        passes = 1 if args.fwd_only else 3     # fwd, bwd-row, bwd-col sweeps
+        n_strips = tile_area / cal["elems_per_strip"]  # calibrated strip units
+        # measured irreducible inner-loop time; strip time is D-independent
+        # for D <= 128 (the MXU writes 128 output lanes per pass regardless)
+        t_strip = (cal["fwd_strip_s_mxu"] if args.fwd_only else
+                   cal["fwd_strip_s_mxu"] + cal["bwd_strip_s_mxu"])
+        t_tile_compute = n_strips * k * t_strip
+        passes = 1 if args.fwd_only else 2     # fwd sweep; fused bwd sweep
         hbm_bytes = passes * (
             tile_area                            # int8 adjacency tiles
             + sum(g.n_tiles * g.bn * k * d * 4 for g in bcsr_graphs))  # v reads
         t_tile_hbm = hbm_bytes / HBM_BW
         t_tile_sol = max(t_tile_compute, t_tile_hbm)
+        # edge-domain floor: the same measured strip rate applied to real
+        # edges only (a perfect-occupancy kernel), vs HBM for edge data
         t_edge_sol = max(
-            total_edges * k * vpu_ops / VPU_F32,
+            total_edges / cal["elems_per_strip"] * k * t_strip,
             passes * (total_edges * (1 + k * 4) + args.n * k * d * 4) / HBM_BW)
         detail["roofline"] = {
             "occupancy": round(float(np.mean(
@@ -210,6 +243,7 @@ def main(argv=None):
             "edge_sol_ms": round(t_edge_sol * 1e3, 3),
             "edge_sol_frac": round(t_edge_sol / t_main, 4),
             "tile_compute_bound": bool(t_tile_compute >= t_tile_hbm),
+            "calibrated": True,
         }
 
     result = {

@@ -117,8 +117,10 @@ def _fwd_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref, ld_ref,
                 ld = ld_ref[h, :]   # (BM,)
                 ls = ls_ref[h, cs]  # (SUB,)
                 raw = ld[:, None] + ls[None, :]  # (BM, SUB)
-                z = jnp.where(raw >= 0, raw, slope * raw)
-                z = jnp.where(on_edge, z, MASK_VALUE)
+                # leaky_relu == max(x, slope*x) for 0 <= slope <= 1, folded
+                # into the mask select: one select pass instead of two
+                z = jnp.where(on_edge, jnp.maximum(raw, slope * raw),
+                              MASK_VALUE)
 
                 m_prev = m_ref[h, :]
                 m_new = jnp.maximum(m_prev, jnp.max(z, axis=1))
@@ -214,7 +216,7 @@ def _flash_fwd(fcnt, fcol, ftile, meta, tiles2d, ld, ls, v, *, slope: float,
 def _head_dz(on_edge, ld, ls, lse, delta, g_h, v_h, slope,
              drop_mask=None):
     raw = ld[:, None] + ls[None, :]
-    z = jnp.where(raw >= 0, raw, slope * raw)
+    z = jnp.maximum(raw, slope * raw)  # leaky_relu for 0 <= slope <= 1
     # no separate z mask: off-edge exp may overflow to +inf (edgeless rows
     # have lse = -1e9) but the select zeroes it before any multiply — one
     # fewer VPU pass over the (bm, sub) strip
@@ -229,8 +231,9 @@ def _head_dz(on_edge, ld, ls, lse, delta, g_h, v_h, slope,
         preferred_element_type=jnp.float32)  # (BM, BN)
     # out = (sum_j c·m·v) / l  ⇒  dz = c·(m·(g·v) − delta)·lrelu'
     dz = c_agg * gv - c * delta[:, None]
-    dslope = jnp.where(raw >= 0, 1.0, slope)
-    return c_agg, dz * dslope
+    # lrelu' fold: dz * where(raw>=0, 1, slope) as a single select of the
+    # two precomputed products — one fewer (bm, sub) materialize+mul pass
+    return c_agg, jnp.where(raw >= 0, dz, slope * dz)
 
 
 def _bwd_row_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref,
@@ -521,6 +524,9 @@ def flash_gat_attention(
     """
     if coef_dropout > 0.0 and dropout_rng is None:
         raise ValueError("coef_dropout > 0 requires dropout_rng")
+    if not 0.0 <= slope <= 1.0:
+        # kernels compute leaky_relu as max(x, slope*x)
+        raise ValueError(f"slope must be in [0, 1], got {slope}")
     if interpret is None:
         interpret = _default_interpret()
     if not isinstance(graph, BCSRGraph):

@@ -1,0 +1,304 @@
+"""Calibrate the speed-of-light constants of bench.py on the real chip.
+
+VERDICT r2 weak #3: the 8/14 VPU-ops-per-element and the 4e12 VPU ops/s
+figures behind the tile-domain roofline were assumptions. This script PINS
+them by timing Pallas kernels that run R dependency-chained passes over a
+resident (BM, SUB) VMEM strip — no HBM traffic in the timed loop, so the
+marginal per-pass time is pure compute-unit throughput:
+
+- primitive passes (add / mul / lrelu / select / exp / row-reduce) in f32
+  and bf16 → elements/s per pass type;
+- the EXACT forward inner-loop body of ops/pallas/flash_gat.py (one head,
+  one strip: bcast-add, lrelu, mask-select, online max/exp/sum, MXU pv)
+  → the irreducible per-(strip, head) time the kernel could ever reach.
+
+Writes results/CALIBRATION.json; bench.py reads it (falling back to the
+old assumptions) so the roofline is measurement-backed.
+
+Usage: python scripts/cal_vpu.py [--bm 512] [--sub 2048] [--reps 400]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _prim_body(op: str, d: int):
+    """One pass over the strip. Returns fn(acc, aux) -> (acc, aux)."""
+    if op == "add":
+        return lambda acc, aux: (acc + 1.0000001, aux)
+    if op == "mul":
+        return lambda acc, aux: (acc * 1.0000001, aux)
+    if op == "lrelu":
+        return lambda acc, aux: (jnp.maximum(acc, 0.2 * acc), aux)
+    if op == "select":
+        return lambda acc, aux: (jnp.where(acc >= 0, acc, acc * 1.0000001), aux)
+    if op == "exp":
+        # exp(x * tiny) stays ~1.0 forever: stable chained transcendental
+        return lambda acc, aux: (jnp.exp(acc * 1e-9), aux)
+    if op == "rowmax":
+        # reduce over lanes; fold back so the carry keeps its shape
+        return lambda acc, aux: (
+            acc, aux * 0.5 + jnp.max(acc + aux[:, None] * 1e-9, axis=1))
+    if op == "rowsum":
+        return lambda acc, aux: (
+            acc, aux * 0.5 + jnp.sum(acc * 1e-9 + aux[:, None] * 1e-9, axis=1))
+    raise ValueError(op)
+
+
+def _prim_kernel(x_ref, o_ref, *, op, reps, d):
+    body = _prim_body(op, d)
+
+    def step(_, carry):
+        return body(*carry)
+
+    acc, aux = jax.lax.fori_loop(
+        0, reps, step, (x_ref[:], x_ref[:, 0] * 0.0 + 1.0))
+    o_ref[:] = acc + aux[:, None].astype(acc.dtype)
+
+
+def _fwd_strip_kernel(ld_ref, ls_ref, adj_ref, v_ref, o_ref, *, reps, d,
+                      mxu: bool):
+    """The exact per-(head, strip) forward math of flash_gat._fwd_kernel,
+    chained reps times through the online (m, l, acc) state."""
+    on_edge = adj_ref[:] != 0
+
+    def step(h, carry):
+        m_prev, l_prev, acc = carry
+        ld = ld_ref[0, :] + m_prev * 1e-9      # depend on carry
+        ls = ls_ref[0, :]
+        raw = ld[:, None] + ls[None, :]
+        z = jnp.where(raw >= 0, raw, 0.2 * raw)
+        z = jnp.where(on_edge, z, -1e9)
+        m_new = jnp.maximum(m_prev, jnp.max(z, axis=1))
+        scale = jnp.exp(m_prev - m_new)
+        p = jnp.exp(z - m_new[:, None])
+        l_new = l_prev * scale + jnp.sum(p, axis=1)
+        if mxu:
+            pv = jnp.dot(p, v_ref[:], preferred_element_type=jnp.float32)
+            acc = acc * scale[:, None] + pv
+        else:
+            acc = acc * scale[:, None]
+        return m_new, l_new, acc
+
+    bm = ld_ref.shape[1]
+    m0 = jnp.full((bm,), -1e9, jnp.float32)
+    l0 = jnp.zeros((bm,), jnp.float32)
+    a0 = jnp.zeros((bm, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, reps, step, (m0, l0, a0))
+    o_ref[:] = acc + (m + l)[:, None]
+
+
+def _fwd_strip_kernel_bf16(ld_ref, ls_ref, adj_ref, v_ref, o_ref, *, reps, d,
+                           mxu: bool):
+    """bf16 variant: strip math in bf16, reductions + accum in f32."""
+    on_edge = adj_ref[:] != 0
+
+    def step(h, carry):
+        m_prev, l_prev, acc = carry
+        ld = ld_ref[0, :] + m_prev * 1e-9
+        ls = ls_ref[0, :]
+        raw = (ld[:, None] + ls[None, :]).astype(jnp.bfloat16)
+        z = jnp.where(on_edge, jnp.maximum(raw, jnp.bfloat16(0.2) * raw),
+                      jnp.bfloat16(-3e38))
+        m_new = jnp.maximum(m_prev, jnp.max(z, axis=1).astype(jnp.float32))
+        scale = jnp.exp(m_prev - m_new)
+        p = jnp.exp(z.astype(jnp.float32) - m_new[:, None])
+        l_new = l_prev * scale + jnp.sum(p, axis=1)
+        if mxu:
+            pv = jnp.dot(p.astype(jnp.bfloat16), v_ref[:],
+                         preferred_element_type=jnp.float32)
+            acc = acc * scale[:, None] + pv
+        else:
+            acc = acc * scale[:, None]
+        return m_new, l_new, acc
+
+    bm = ld_ref.shape[1]
+    m0 = jnp.full((bm,), -1e9, jnp.float32)
+    l0 = jnp.zeros((bm,), jnp.float32)
+    a0 = jnp.zeros((bm, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, reps, step, (m0, l0, a0))
+    o_ref[:] = acc + (m + l)[:, None]
+
+
+def _bwd_strip_kernel(ld_ref, ls_ref, adj_ref, v_ref, g_ref, o_ref, *,
+                      reps, d):
+    """The exact per-(head, strip) fused-backward math of
+    flash_gat._bwd_col_kernel (fuse_dld path): _head_dz + the three
+    gradient contractions, chained through accumulators."""
+    on_edge = adj_ref[:] != 0
+    bm, sub = adj_ref.shape
+
+    def step(h, carry):
+        dls, dv, dld = carry
+        ld = ld_ref[0, :] + dld * 1e-9
+        ls = ls_ref[0, :]
+        lse = ld * 0.5
+        delta = ld * 0.25
+        g_h = g_ref[:]
+        raw = ld[:, None] + ls[None, :]
+        z = jnp.where(raw >= 0, raw, 0.2 * raw)
+        c = jnp.where(on_edge, jnp.exp(z - lse[:, None]), 0.0)
+        gv = jax.lax.dot_general(
+            g_h, v_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dz = c * gv - c * delta[:, None]
+        dslope = jnp.where(raw >= 0, 1.0, 0.2)
+        dzs = dz * dslope
+        dls = dls * 0.5 + jnp.sum(dzs, axis=0)
+        dv = dv * 0.5 + jax.lax.dot_general(
+            c, g_h, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dld = dld * 0.5 + jnp.sum(dzs, axis=1)
+        return dls, dv, dld
+
+    dls0 = jnp.zeros((sub,), jnp.float32)
+    dv0 = jnp.zeros((sub, d), jnp.float32)
+    dld0 = jnp.zeros((bm,), jnp.float32)
+    dls, dv, dld = jax.lax.fori_loop(0, reps, step, (dls0, dv0, dld0))
+    o_ref[:] = dv + dls[:, None] + dld[:d][None, :]
+
+
+def _time_marginal(build, r_lo, r_hi, outer=5):
+    """Marginal seconds per extra rep between two in-kernel rep counts."""
+    f_lo, f_hi = build(r_lo), build(r_hi)
+    for f in (f_lo, f_hi):  # warm compile + one run
+        float(jnp.sum(f()))
+    t_lo = min(_t1(f_lo) for _ in range(outer))
+    t_hi = min(_t1(f_hi) for _ in range(outer))
+    return max((t_hi - t_lo) / (r_hi - r_lo), 1e-12)
+
+
+def _t1(f):
+    t0 = time.perf_counter()
+    float(jnp.sum(f()))
+    return time.perf_counter() - t0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--bm", type=int, default=512)
+    p.add_argument("--sub", type=int, default=2048)
+    p.add_argument("--d", type=int, default=8)
+    p.add_argument("--reps", type=int, default=16384)
+    p.add_argument("--strip-reps", type=int, default=2048)
+    p.add_argument("--out", default="results/CALIBRATION.json")
+    args = p.parse_args(argv)
+
+    bm, sub, d = args.bm, args.sub, args.d
+    elems = bm * sub
+    rng = np.random.default_rng(0)
+    x32 = jnp.asarray(rng.standard_normal((bm, sub)).astype(np.float32))
+    x16 = x32.astype(jnp.bfloat16)
+    ld = jnp.asarray(rng.standard_normal((8, bm)).astype(np.float32))
+    ls = jnp.asarray(rng.standard_normal((8, sub)).astype(np.float32))
+    adj = jnp.asarray((rng.random((bm, sub)) < 0.03).astype(np.int8))
+    v = jnp.asarray(rng.standard_normal((sub, d)).astype(np.float32))
+
+    result = {"bm": bm, "sub": sub, "d": d, "elems_per_strip": elems,
+              "device": str(jax.devices()[0]), "prim_rates_eps": {}}
+
+    def prim_build(op, x, reps):
+        kern = functools.partial(_prim_kernel, op=op, reps=reps, d=d)
+        call = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )
+        return jax.jit(lambda: call(x))
+
+    for op in ["add", "mul", "lrelu", "select", "exp", "rowmax", "rowsum"]:
+        for name, x in [("f32", x32), ("bf16", x16)]:
+            if op == "exp" and name == "bf16":
+                # exp(bf16) upcasts anyway on VPU; still measure it
+                pass
+            tp = _time_marginal(
+                lambda r, op=op, x=x: prim_build(op, x, r),
+                args.reps, 2 * args.reps)
+            rate = elems / tp
+            result["prim_rates_eps"][f"{op}_{name}"] = rate
+            print(f"{op:7s} {name:4s}: {tp*1e6:8.2f} us/pass "
+                  f"-> {rate/1e12:6.3f} Te/s", flush=True)
+
+    def strip_build(reps, mxu):
+        kern = functools.partial(_fwd_strip_kernel, reps=reps, d=d, mxu=mxu)
+        call = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((bm, d), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )
+        return jax.jit(lambda: call(ld, ls, adj, v))
+
+    def strip_build16(reps, mxu):
+        kern = functools.partial(_fwd_strip_kernel_bf16, reps=reps, d=d,
+                                 mxu=mxu)
+        call = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((bm, d), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )
+        v16 = v.astype(jnp.bfloat16)
+        return jax.jit(lambda: call(ld, ls, adj, v16))
+
+    def bwd_build(reps):
+        kern = functools.partial(_bwd_strip_kernel, reps=reps, d=d)
+        call = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((sub, d), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )
+        g = jnp.asarray(
+            np.random.default_rng(1).standard_normal((bm, d)).astype(
+                np.float32))
+        return jax.jit(lambda: call(ld, ls, adj, v, g))
+
+    for mxu in (False, True):
+        tp = _time_marginal(lambda r, m=mxu: strip_build(r, m),
+                            args.strip_reps, 2 * args.strip_reps)
+        key = "fwd_strip_s" + ("_mxu" if mxu else "")
+        result[key] = tp
+        print(f"fwd strip f32 (mxu={mxu}): {tp*1e6:8.2f} us/(head*strip)",
+              flush=True)
+
+    tp = _time_marginal(lambda r: strip_build16(r, True),
+                        args.strip_reps, 2 * args.strip_reps)
+    result["fwd_strip_s_bf16_mxu"] = tp
+    print(f"fwd strip bf16 (mxu=True): {tp*1e6:8.2f} us/(head*strip)",
+          flush=True)
+
+    tp = _time_marginal(bwd_build, args.strip_reps // 2, args.strip_reps)
+    result["bwd_strip_s_mxu"] = tp
+    print(f"bwd strip f32 (fused col): {tp*1e6:8.2f} us/(head*strip)",
+          flush=True)
+
+    import os
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
