@@ -16,7 +16,7 @@ def register(name: str):
     return deco
 
 
-def load_dataset(name: str, **kwargs) -> HeteroDataset:
+def load_dataset(name: str, **kwargs) -> HeteroDataset | "MultiGraphDataset":
     if name in ("acm", "acm3025"):
         from han_tpu.datasets.acm import load_acm3025
         return load_acm3025(**kwargs)
@@ -38,6 +38,18 @@ def load_dataset(name: str, **kwargs) -> HeteroDataset:
     if name == "powerlaw":
         from han_tpu.graph.synthetic import powerlaw_hetero
         return powerlaw_hetero(**kwargs)
+    if name == "ppi":
+        # inductive multi-graph dataset (returns MultiGraphDataset, not
+        # HeteroDataset — train.run() routes it to the InductiveTrainer);
+        # real GraphSAGE-format files when present (the reference checkout
+        # ships none — utils/process_ppi.py:85), synthetic fixture otherwise
+        import pathlib
+
+        from han_tpu.datasets.ppi import load_ppi, ppi_synthetic
+        root = pathlib.Path(kwargs.pop("root", "data_cache/ppi"))
+        if (root / "ppi-G.json").exists():
+            return load_ppi(root, **kwargs)
+        return ppi_synthetic(**kwargs)
     if name in ("cora", "citeseer", "pubmed"):
         from han_tpu.datasets.planetoid import load_planetoid
         kwargs.setdefault("root", "data_cache/planetoid")
@@ -45,4 +57,4 @@ def load_dataset(name: str, **kwargs) -> HeteroDataset:
     if name in _REGISTRY:
         return _REGISTRY[name](**kwargs)
     raise KeyError(f"unknown dataset {name!r}; known: acm, acm_synthetic, dblp, "
-                   f"imdb, powerlaw, cora, citeseer, pubmed, {sorted(_REGISTRY)}")
+                   f"imdb, ppi, powerlaw, cora, citeseer, pubmed, {sorted(_REGISTRY)}")

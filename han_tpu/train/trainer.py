@@ -318,19 +318,24 @@ class Trainer:
             t0 = time.time()
             params, opt_state, rng, tr_loss, tr_acc, alphas = self.train_step(
                 params, opt_state, rng)
+            tr_loss, tr_acc = float(tr_loss), float(tr_acc)  # forces the step
+            t_train = time.time() - t0
+            t1 = time.time()
             vl_loss, vl_acc, _, _ = self.eval_step(params, self.masks["val"])
-            tr_loss, tr_acc = float(tr_loss), float(tr_acc)
             vl_loss, vl_acc = float(vl_loss), float(vl_acc)
-            step_time = time.time() - t0
+            t_eval = time.time() - t1
             self.logger.log({
                 "epoch": epoch, "train_loss": tr_loss, "train_acc": tr_acc,
                 "val_loss": vl_loss, "val_acc": vl_acc,
                 "semantic_alphas": [round(float(a), 4) for a in np.asarray(alphas)],
-                "step_time_s": round(step_time, 4),
+                # train step alone; eval timed separately so edges_per_s
+                # reflects the train step (SURVEY.md §5.5)
+                "step_time_s": round(t_train, 4),
+                "eval_time_s": round(t_eval, 4),
                 # throughput counter (SURVEY.md §5.1/§5.5): real meta-path
                 # edges × heads processed per second this epoch
                 "edges_per_s": round(self._total_edges *
-                                     self.cfg.model.n_heads[0] / step_time, 1),
+                                     self.cfg.model.n_heads[0] / t_train, 1),
             })
             ckpt, _ = es.update(vl_loss, vl_acc)
             periodic = cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0
@@ -423,9 +428,32 @@ class Trainer:
 
 
 def run(cfg: Config, ds: HeteroDataset | None = None) -> dict[str, Any]:
-    """One-call train+eval entry point (the ex_acm3025.py equivalent)."""
+    """One-call train+eval entry point (the ex_acm3025.py equivalent).
+
+    Inductive multi-graph datasets (PPI, reference utils/process_ppi.py)
+    route to the InductiveTrainer with the mesh's graph axis as the DP
+    axis; everything else uses the full-graph Trainer.
+    """
     if ds is None:
         from han_tpu.datasets.registry import load_dataset
 
         ds = load_dataset(cfg.data.dataset)
+    from han_tpu.datasets.ppi import MultiGraphDataset
+
+    if isinstance(ds, MultiGraphDataset):
+        from han_tpu.train.inductive import InductiveTrainer
+
+        mesh = None
+        if cfg.mesh.graph_axis > 1:
+            from han_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(graph=cfg.mesh.graph_axis)
+        trainer = InductiveTrainer(
+            ds, hid_units=tuple(cfg.model.hid_units),
+            n_heads=tuple(cfg.model.n_heads), lr=cfg.train.lr,
+            l2_coef=cfg.train.l2_coef, residual=cfg.model.residual,
+            batch_size=max(2, cfg.mesh.graph_axis), mesh=mesh,
+            seed=cfg.train.seed)
+        result = trainer.fit(epochs=cfg.train.epochs)
+        return {k: v for k, v in result.items() if k != "history"}
     return Trainer(ds, cfg).fit()

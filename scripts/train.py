@@ -30,25 +30,13 @@ def main():
                       str(pathlib.Path(__file__).parent.parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    from han_tpu.train import trainer
     from han_tpu.train.config import parse_cli
 
     cfg = parse_cli()
-
-    if cfg.data.dataset == "ppi":
-        from han_tpu.datasets.ppi import ppi_synthetic
-        from han_tpu.train.inductive import InductiveTrainer
-
-        trainer = InductiveTrainer(ppi_synthetic(), lr=cfg.train.lr,
-                                   l2_coef=cfg.train.l2_coef)
-        result = trainer.fit(epochs=min(cfg.train.epochs, 40))
-        print({k: v for k, v in result.items() if k != "history"})
-        return
-
-    from han_tpu.datasets.registry import load_dataset
-    from han_tpu.train.trainer import Trainer
-
-    ds = load_dataset(cfg.data.dataset)
-    result = Trainer(ds, cfg).fit()
+    # every dataset — including inductive PPI — goes through the same front
+    # door; trainer.run() routes on the dataset type
+    result = trainer.run(cfg)
     print(result)
 
 

@@ -109,6 +109,46 @@ def test_inductive_ppi_learns():
     assert 0.0 <= res["test_micro_f1"] <= 1.0
 
 
+def test_ppi_front_door(tmp_path):
+    """PPI goes through the same registry + run() path as every other
+    dataset (reference utils/process_ppi.py:85): load_dataset('ppi')
+    returns the multi-graph dataset (synthetic fixture when the GraphSAGE
+    files are absent) and run() routes it to the InductiveTrainer."""
+    from han_tpu.datasets.ppi import MultiGraphDataset
+    from han_tpu.datasets.registry import load_dataset
+    from han_tpu.train import trainer as train_mod
+    from han_tpu.train.config import preset
+
+    ds = load_dataset("ppi", n_graphs=8, nodes_per_graph=24, n_feats=10,
+                      n_labels=5, seed=3)
+    assert isinstance(ds, MultiGraphDataset)
+    cfg = preset("ppi")
+    cfg.train.epochs = 3
+    cfg.model.hid_units = (8,)
+    cfg.model.n_heads = (2, 2)
+    res = train_mod.run(cfg, ds=ds)
+    assert "test_micro_f1" in res and "history" not in res
+
+
+def test_inductive_mesh_dp_matches_single_device():
+    """DP inductive training on a ('graph',) mesh produces the same loss
+    trajectory as the single-device run (psum-of-grads == full batch)."""
+    from han_tpu.parallel.mesh import make_mesh
+
+    ds = ppi_synthetic(n_graphs=8, nodes_per_graph=24, n_feats=10,
+                       n_labels=5, seed=4)
+
+    def losses(mesh, batch_size):
+        t = InductiveTrainer(ds, hid_units=(8,), n_heads=(2, 2), lr=0.02,
+                             batch_size=batch_size, mesh=mesh, seed=0)
+        res = t.fit(epochs=3, log=lambda r: None)
+        return [h["train_loss"] for h in res["history"]]
+
+    single = losses(None, 4)
+    sharded = losses(make_mesh(graph=4), 4)
+    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=1e-6)
+
+
 def test_resume_restores_best_not_latest(small_ds, tmp_path):
     """When the latest checkpoint is a *periodic* save made after the best
     epoch, resume must still evaluate on the best-epoch params (reference
