@@ -238,6 +238,15 @@ def attention_aggregate(
             graph, fts, logit_dst, logit_src, slope=slope,
             coef_dropout=coef_dropout, dropout_rng=dropout_rng,
         )
+    if type(graph).__name__ == "RingBCSR":
+        from han_tpu.parallel.ring_bcsr import ring_flash_attention
+
+        if return_coefs:
+            raise NotImplementedError("return_coefs unsupported on RingBCSR")
+        return ring_flash_attention(
+            graph, fts, logit_dst, logit_src, slope=slope,
+            coef_dropout=coef_dropout, dropout_rng=dropout_rng,
+        )
     if impl == "auto":
         if isinstance(graph, DenseGraph):
             impl = "dense"

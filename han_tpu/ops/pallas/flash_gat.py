@@ -130,10 +130,11 @@ def _fwd_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref, ld_ref,
                 if dropout_p > 0.0:
                     # reference order: softmax first, then dropout on the
                     # coefs (layers.py:27-30) — l uses undropped p, acc the
-                    # dropped
+                    # dropped. meta[3] globalizes the column-block index for
+                    # column-sharded (ring) execution.
                     p_agg = p * _tile_drop_keep(
                         p.shape, dropout_p, meta_ref[0], i + meta_ref[1],
-                        cols_ref[i, j] * (bn // sub) + c,
+                        (cols_ref[i, j] + meta_ref[3]) * (bn // sub) + c,
                         meta_ref[2] + h, interpret)
                 else:
                     p_agg = p
@@ -161,9 +162,10 @@ def _flash_fwd(fcnt, fcol, ftile, meta, tiles2d, ld, ls, v, *, slope: float,
     v (N_cols, K, D) → out (N_rows, K, D), lse (Kp, N_rows). The row and
     column domains may differ (edge-partitioned shards own a row strip of
     the global column space). fcnt/fcol/ftile: precomputed forward block
-    map (graph/bcsr.py); meta: (3,) int32 [dropout seed, row-block offset,
-    global-head offset] — the offsets globalize the dropout PRNG streams
-    for graph- and head-sharded execution."""
+    map (graph/bcsr.py); meta: (4,) int32 [dropout seed, row-block offset,
+    global-head offset, column-block offset] — the offsets globalize the
+    dropout PRNG streams for graph-, head- and column-(ring-)sharded
+    execution."""
     _, k, d = v.shape
     kp, n_rows = ld.shape
     n_i = n_rows // bm
@@ -261,7 +263,7 @@ def _bwd_row_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref,
                 mask = (_tile_drop_keep(
                             on_edge.shape, dropout_p, meta_ref[0],
                             i + meta_ref[1],
-                            cols_ref[i, j] * (bn // sub) + c,
+                            (cols_ref[i, j] + meta_ref[3]) * (bn // sub) + c,
                             meta_ref[2] + h, interpret)
                         if dropout_p > 0.0 else None)
                 _, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, cs],
@@ -315,7 +317,7 @@ def _bwd_col_kernel(counts_ref, rows_ref, tiles_ref, meta_ref, adj_ref,
                 mask = (_tile_drop_keep(
                             on_edge.shape, dropout_p, meta_ref[0],
                             rb + meta_ref[1],
-                            jb * (bn // sub) + c,
+                            (jb + meta_ref[3]) * (bn // sub) + c,
                             meta_ref[2] + h, interpret)
                         if dropout_p > 0.0 else None)
                 c_agg, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, cs],
@@ -550,7 +552,8 @@ def flash_gat_attention(
     else:
         seed = jnp.int32(0)
     meta = jnp.stack([seed, jnp.asarray(row_block_offset, jnp.int32),
-                      jnp.asarray(head_offset, jnp.int32)])
+                      jnp.asarray(head_offset, jnp.int32),
+                      jnp.zeros((), jnp.int32)])
 
     tiles2d = graph.tiles.reshape(-1, bn)
     out = _flash_core(tiles2d, graph.fwd_count, graph.fwd_col,

@@ -205,7 +205,8 @@ def sharded_flash_attention(
         ls_t = jnp.pad(ls.T, ((0, kp - k_loc), (0, 0)))    # (kp, n_pad)
         # globalize the dropout streams: this shard's first global head
         h_off = jax.lax.axis_index(HEAD_AXIS) * k_loc
-        meta = jnp.stack([sd[0], off[0], h_off.astype(jnp.int32)])
+        meta = jnp.stack([sd[0], off[0], h_off.astype(jnp.int32),
+                          jnp.zeros((), jnp.int32)])
         out = _flash_core(tiles[0].reshape(-1, bn), fc[0], fcol[0], ftl[0],
                           bc[0], brow[0], btl[0], meta, ld_t, ls_t, v,
                           slope, bm, bn, interpret, float(coef_dropout))

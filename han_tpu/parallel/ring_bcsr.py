@@ -1,0 +1,377 @@
+"""Memory-scalable distributed flash-GAT: ring rotation × BCSR tiles.
+
+The fast multi-chip backend (parallel/flash_shard.py) keeps the Pallas
+flash kernel but replicates the full (N, K, D) feature array and logit_src
+on every graph shard — per-chip feature memory is O(N), an all-gather per
+layer. The memory-scalable ring (parallel/ring_attn.py) keeps features
+sharded O(N/S) but runs on XLA segment ops, measured ~50× slower than
+flash. This module combines them — the r2 VERDICT's #1 architectural gap:
+
+- the global tile grid is 2-D partitioned: shard s owns the **row strip**
+  [s·n_loc, (s+1)·n_loc) of destination rows and all its occupied tiles;
+- node features and logit_src stay sharded ``P('graph')`` in uniform
+  n_loc blocks and rotate around the ring via ``ppermute`` (neighbor ICI
+  links), never gathered;
+- at ring step t, shard s sweeps the occupied tiles of cell
+  (row strip s × column strip (s−t) mod S) with the SAME fused kernel
+  (ops/pallas/flash_gat.py), producing a per-step (out_t, lse_t);
+- steps merge with the standard flash log-sum-exp combine:
+      LSE' = logaddexp(LSE, lse_t)
+      OUT' = OUT·e^{LSE−LSE'} + out_t·e^{lse_t−LSE'}
+  so the result is exactly the global masked softmax aggregate.
+
+Backward (custom VJP): re-rotate the blocks on the same schedule and feed
+each step's fused backward kernel the **global** LSE and delta = g·out —
+then each cell's backward computes exactly its edges' contribution to the
+global gradients: dld accumulates locally; dv/dls accumulate into gradient
+blocks that rotate WITH the data and come home after S steps (the ring-
+attention backward).
+
+Per-chip feature residency is O(n_loc·K·D) = O(N/S) (one resident block +
+one rotation buffer) instead of flash_shard's O(N); per step the math is
+the flash kernel, not segment ops. Dropout replays the single-chip masks
+exactly: the kernel PRNG streams are keyed by global row tile, global
+column strip (meta[3] carries the column-block offset of the current ring
+step) and global head — tests/test_ring_bcsr.py.
+
+Reference ceiling being removed: the dense N² logits / O(N²) masks of
+/root/reference/utils/layers.py:26 and utils/process.py:18-20 (SURVEY.md
+§5.7 — this is the long-context/context-parallel analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from han_tpu.graph.bcsr import DEF_BM, DEF_BN, build_tile_arrays, pick_tiles
+from han_tpu.parallel.mesh import GRAPH_AXIS, HEAD_AXIS
+
+_NEG = -1e9  # matches flash_gat._NEG_INIT / containers.MASK_VALUE magnitude
+
+
+@dataclasses.dataclass(frozen=True)
+class RingBCSR:
+    """2-D (row strip × column strip) tile partition, maps pre-rolled by
+    ring step: index [s, t] holds the cell (s, (s−t) mod S).
+
+    tiles:      int8[S, T_max, bm, bn] — shard s's occupied tiles (all
+                column strips), ids local to the shard buffer
+    fwd_count:  int32[S, S, nb_r_loc]
+    fwd_col:    int32[S, S, nb_r_loc, c_max] — column-block ids LOCAL to
+                the step's column strip (0..nb_c_loc−1)
+    fwd_tile:   int32[S, S, nb_r_loc, c_max]
+    bwd_count:  int32[S, S, nb_c_loc]
+    bwd_row:    int32[S, S, nb_c_loc, r_max]
+    bwd_tile:   int32[S, S, nb_c_loc, r_max]
+    cs_of_step: int32[S, S] — global column-strip id at [s, t]
+    """
+
+    tiles: jax.Array
+    fwd_count: jax.Array
+    fwd_col: jax.Array
+    fwd_tile: jax.Array
+    bwd_count: jax.Array
+    bwd_row: jax.Array
+    bwd_tile: jax.Array
+    cs_of_step: jax.Array
+    n_nodes: int
+    n_pad: int
+    n_loc: int
+    bm: int
+    bn: int
+    n_edges: int
+    n_shards: int
+
+    @property
+    def nb_r_loc(self) -> int:
+        return self.n_loc // self.bm
+
+    @property
+    def nb_c_loc(self) -> int:
+        return self.n_loc // self.bn
+
+
+jax.tree_util.register_pytree_node(
+    RingBCSR,
+    lambda g: ((g.tiles, g.fwd_count, g.fwd_col, g.fwd_tile, g.bwd_count,
+                g.bwd_row, g.bwd_tile, g.cs_of_step),
+               (g.n_nodes, g.n_pad, g.n_loc, g.bm, g.bn, g.n_edges,
+                g.n_shards)),
+    lambda meta, data: RingBCSR(*data, *meta),
+)
+
+
+def ring_partition_bcsr(adj, n_shards: int, *, bm: int = DEF_BM,
+                        bn: int = DEF_BN) -> RingBCSR:
+    """Host-side 2-D tile partitioner: scipy adjacency → RingBCSR.
+
+    Node blocks are UNIFORM (they rotate), n_loc a common multiple of
+    (bm, bn); shard s's tile buffer concatenates its per-column-strip tile
+    lists (one zero dummy tile per empty cell keeps map padding valid)."""
+    m = adj.tocoo().astype(bool)
+    m.sum_duplicates()
+    rows = np.asarray(m.row, np.int64)
+    cols = np.asarray(m.col, np.int64)
+    n = m.shape[0]
+    s_n = n_shards
+
+    bm, bn, _ = pick_tiles(n, bm, bn)
+    blk = math.lcm(bm, bn)
+    n_loc = ((-(-n // s_n) + blk - 1) // blk) * blk
+    n_pad = s_n * n_loc
+    nb_r_loc, nb_c_loc = n_loc // bm, n_loc // bn
+
+    cells = [[None] * s_n for _ in range(s_n)]  # [s][cs]
+    tile_bufs = []
+    for s in range(s_n):
+        sel = (rows // n_loc) == s
+        r_loc = rows[sel] - s * n_loc
+        c_glb = cols[sel]
+        buf, off = [], 0
+        for cs in range(s_n):
+            sel2 = (c_glb // n_loc) == cs
+            (tiles, fc, fcol, ftl, bc, brow, btl, _nt) = build_tile_arrays(
+                r_loc[sel2], c_glb[sel2] - cs * n_loc,
+                nb_r_loc, nb_c_loc, bm, bn)
+            cells[s][cs] = (fc, fcol, ftl + off, bc, brow, btl + off)
+            buf.append(tiles)
+            off += tiles.shape[0]
+        tile_bufs.append(np.concatenate(buf, axis=0))
+
+    t_max = max(b.shape[0] for b in tile_bufs)
+    c_max = max(c[1].shape[1] for row in cells for c in row)
+    r_max = max(c[4].shape[1] for row in cells for c in row)
+
+    def pad_w(a, w):
+        return (np.concatenate([a] + [a[:, -1:]] * (w - a.shape[1]), axis=1)
+                if a.shape[1] < w else a)
+
+    # pre-roll by ring step: index [s, t] = cell (s, (s - t) % S)
+    fwd_count = np.zeros((s_n, s_n, nb_r_loc), np.int32)
+    fwd_col = np.zeros((s_n, s_n, nb_r_loc, c_max), np.int32)
+    fwd_tile = np.zeros((s_n, s_n, nb_r_loc, c_max), np.int32)
+    bwd_count = np.zeros((s_n, s_n, nb_c_loc), np.int32)
+    bwd_row = np.zeros((s_n, s_n, nb_c_loc, r_max), np.int32)
+    bwd_tile = np.zeros((s_n, s_n, nb_c_loc, r_max), np.int32)
+    cs_of_step = np.zeros((s_n, s_n), np.int32)
+    for s in range(s_n):
+        for t in range(s_n):
+            cs = (s - t) % s_n
+            fc, fcol, ftl, bc, brow, btl = cells[s][cs]
+            fwd_count[s, t] = fc
+            fwd_col[s, t] = pad_w(fcol, c_max)
+            fwd_tile[s, t] = pad_w(ftl, c_max)
+            bwd_count[s, t] = bc
+            bwd_row[s, t] = pad_w(brow, r_max)
+            bwd_tile[s, t] = pad_w(btl, r_max)
+            cs_of_step[s, t] = cs
+
+    tiles = np.stack([np.pad(b, ((0, t_max - b.shape[0]), (0, 0), (0, 0)))
+                      for b in tile_bufs])
+    return RingBCSR(
+        tiles=jnp.asarray(tiles),
+        fwd_count=jnp.asarray(fwd_count), fwd_col=jnp.asarray(fwd_col),
+        fwd_tile=jnp.asarray(fwd_tile), bwd_count=jnp.asarray(bwd_count),
+        bwd_row=jnp.asarray(bwd_row), bwd_tile=jnp.asarray(bwd_tile),
+        cs_of_step=jnp.asarray(cs_of_step),
+        n_nodes=n, n_pad=n_pad, n_loc=n_loc, bm=bm, bn=bn,
+        n_edges=int(rows.shape[0]), n_shards=s_n,
+    )
+
+
+def _rotate(xs, n_shards: int):
+    if n_shards == 1:
+        return xs
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    return tuple(jax.lax.ppermute(x, GRAPH_AXIS, perm=perm) for x in xs)
+
+
+def _ls_t(ls_blk, kp):
+    k = ls_blk.shape[1]
+    return jnp.pad(ls_blk.astype(jnp.float32).T, ((0, kp - k), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17,
+                                                    18))
+def _ring_core(tiles2d, fwd_count, fwd_col, fwd_tile, bwd_count, bwd_row,
+               bwd_tile, cs_of_step, meta_base, ld_t, ls_blk, v_blk,
+               slope, bm, bn, interpret, dropout_p, n_shards, nb_c_loc):
+    out, _, _, _ = _ring_fwd_loop(
+        tiles2d, fwd_count, fwd_col, fwd_tile, cs_of_step, meta_base, ld_t,
+        ls_blk, v_blk, slope=slope, bm=bm, bn=bn, interpret=interpret,
+        dropout_p=dropout_p, n_shards=n_shards, nb_c_loc=nb_c_loc)
+    return out
+
+
+def _ring_fwd_loop(tiles2d, fwd_count, fwd_col, fwd_tile, cs_of_step,
+                   meta_base, ld_t, ls_blk, v_blk, *, slope, bm, bn,
+                   interpret, dropout_p, n_shards, nb_c_loc):
+    from han_tpu.ops.pallas.flash_gat import _flash_fwd
+
+    kp, n_loc = ld_t.shape
+    _, k, d = v_blk.shape
+    out = jnp.zeros((n_loc, k, d), jnp.float32)
+    lse = jnp.full((k, n_loc), _NEG, jnp.float32)
+    vb, lb = v_blk.astype(jnp.float32), ls_blk
+    for t in range(n_shards):
+        meta_t = meta_base.at[3].set(cs_of_step[t] * nb_c_loc)
+        o_t, lse_t = _flash_fwd(
+            fwd_count[t], fwd_col[t], fwd_tile[t], meta_t, tiles2d,
+            ld_t, _ls_t(lb, kp), vb, slope=slope, bm=bm, bn=bn,
+            interpret=interpret, dropout_p=dropout_p)
+        new_lse = jnp.logaddexp(lse, lse_t[:k])
+        w_old = jnp.exp(lse - new_lse).T[:, :, None]      # (n_loc, k, 1)
+        w_new = jnp.exp(lse_t[:k] - new_lse).T[:, :, None]
+        out = out * w_old + o_t * w_new
+        lse = new_lse
+        if t < n_shards - 1:
+            vb, lb = _rotate((vb, lb), n_shards)
+    return out, lse, v_blk, ls_blk
+
+
+def _ring_core_fwd(tiles2d, fwd_count, fwd_col, fwd_tile, bwd_count,
+                   bwd_row, bwd_tile, cs_of_step, meta_base, ld_t, ls_blk,
+                   v_blk, slope, bm, bn, interpret, dropout_p, n_shards,
+                   nb_c_loc):
+    out, lse, _, _ = _ring_fwd_loop(
+        tiles2d, fwd_count, fwd_col, fwd_tile, cs_of_step, meta_base, ld_t,
+        ls_blk, v_blk, slope=slope, bm=bm, bn=bn, interpret=interpret,
+        dropout_p=dropout_p, n_shards=n_shards, nb_c_loc=nb_c_loc)
+    res = (tiles2d, fwd_count, fwd_col, fwd_tile, bwd_count, bwd_row,
+           bwd_tile, cs_of_step, meta_base, ld_t, ls_blk, v_blk, out, lse)
+    return out, res
+
+
+def _ring_core_bwd(slope, bm, bn, interpret, dropout_p, n_shards, nb_c_loc,
+                   res, g):
+    from han_tpu.ops.pallas.flash_gat import _flash_bwd
+
+    (tiles2d, fwd_count, fwd_col, fwd_tile, bwd_count, bwd_row, bwd_tile,
+     cs_of_step, meta_base, ld_t, ls_blk, v_blk, out, lse) = res
+    kp, n_loc = ld_t.shape
+    _, k, d = v_blk.shape
+
+    # GLOBAL softmax statistics: each step's backward then yields exactly
+    # its edges' contribution to the global gradient (see module docstring)
+    lse_kp = jnp.pad(lse, ((0, kp - k), (0, 0)), constant_values=_NEG)
+    delta_kp = jnp.zeros((kp, n_loc), jnp.float32).at[:k].set(
+        jnp.sum(g.astype(jnp.float32) * out, axis=-1).T)
+    g32 = g.astype(jnp.float32)
+
+    dld = jnp.zeros((kp, n_loc), jnp.float32)
+    dv = jnp.zeros((n_loc, k, d), jnp.float32)
+    dls = jnp.zeros((n_loc, k), jnp.float32)
+    vb, lb = v_blk.astype(jnp.float32), ls_blk
+    for t in range(n_shards):
+        meta_t = meta_base.at[3].set(cs_of_step[t] * nb_c_loc)
+        dld_t, dls_t, dv_t = _flash_bwd(
+            fwd_count[t], fwd_col[t], fwd_tile[t], bwd_count[t], bwd_row[t],
+            bwd_tile[t], meta_t, tiles2d, ld_t, _ls_t(lb, kp), vb, g32,
+            lse_kp, delta_kp, slope=slope, bm=bm, bn=bn, interpret=interpret,
+            dropout_p=dropout_p)
+        dld = dld + dld_t
+        dv = dv + dv_t
+        dls = dls + dls_t[:k].T
+        if t < n_shards - 1:
+            vb, lb, dv, dls = _rotate((vb, lb, dv, dls), n_shards)
+    # gradient blocks sit one position short of home — final rotation
+    if n_shards > 1:
+        dv, dls = _rotate((dv, dls), n_shards)
+
+    z = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (z(tiles2d), z(fwd_count), z(fwd_col), z(fwd_tile), z(bwd_count),
+            z(bwd_row), z(bwd_tile), z(cs_of_step), z(meta_base),
+            dld, dls.astype(ls_blk.dtype), dv.astype(v_blk.dtype))
+
+
+_ring_core.defvjp(_ring_core_fwd, _ring_core_bwd)
+
+
+def ring_flash_attention(
+    graph: RingBCSR,
+    fts: jax.Array,        # (N, K, D) — lives sharded over the graph axis
+    logit_dst: jax.Array,  # (N, K)
+    logit_src: jax.Array,  # (N, K) — sharded, rotates with the features
+    *,
+    mesh=None,
+    slope: float = 0.2,
+    coef_dropout: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    interpret: bool | None = None,
+):
+    """Distributed flash attention with O(N/S) per-chip feature residency.
+
+    Same math/masks as the single-chip kernel (flash_gat_attention) —
+    partition equivalence and exact dropout replay are tested on the CPU
+    mesh (tests/test_ring_bcsr.py)."""
+    from han_tpu.ops.pallas.flash_gat import _default_interpret
+
+    if mesh is None:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or mesh.empty:
+            raise ValueError("ring_flash_attention needs a mesh (pass mesh=...)")
+    if coef_dropout > 0.0 and dropout_rng is None:
+        raise ValueError("coef_dropout > 0 requires dropout_rng")
+    if interpret is None:
+        interpret = _default_interpret()
+
+    n, k, d = fts.shape
+    n_pad = graph.n_pad
+    fts_p = jnp.pad(fts.astype(jnp.float32), ((0, n_pad - n), (0, 0), (0, 0)))
+    ld_p = jnp.pad(logit_dst.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    ls_p = jnp.pad(logit_src.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+
+    if coef_dropout > 0.0:
+        seed = jax.random.randint(
+            dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+
+    nb_r_loc, nb_c_loc = graph.nb_r_loc, graph.nb_c_loc
+    bm, bn, s_n = graph.bm, graph.bn, graph.n_shards
+
+    def body(tiles, fc, fcol, ftl, bc, brow, btl, cs, v, ldb, lsb, sd):
+        k_loc = v.shape[1]
+        kp = max(((k_loc + 7) // 8) * 8, 8)
+        ld_t = jnp.pad(ldb.astype(jnp.float32).T, ((0, kp - k_loc), (0, 0)))
+        row_off = jax.lax.axis_index(GRAPH_AXIS).astype(jnp.int32) * nb_r_loc
+        h_off = jax.lax.axis_index(HEAD_AXIS).astype(jnp.int32) * k_loc
+        meta_base = jnp.stack([sd[0], row_off, h_off, jnp.int32(0)])
+        out = _ring_core(tiles[0].reshape(-1, bn), fc[0], fcol[0], ftl[0],
+                         bc[0], brow[0], btl[0], cs[0], meta_base, ld_t,
+                         lsb, v, slope, bm, bn, interpret,
+                         float(coef_dropout), s_n, nb_c_loc)
+        return out  # (n_loc, k_loc, d)
+
+    out_padded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(GRAPH_AXIS, None, None, None),        # tiles
+            P(GRAPH_AXIS, None, None),              # fwd_count
+            P(GRAPH_AXIS, None, None, None),        # fwd_col
+            P(GRAPH_AXIS, None, None, None),        # fwd_tile
+            P(GRAPH_AXIS, None, None),              # bwd_count
+            P(GRAPH_AXIS, None, None, None),        # bwd_row
+            P(GRAPH_AXIS, None, None, None),        # bwd_tile
+            P(GRAPH_AXIS, None),                    # cs_of_step
+            P(GRAPH_AXIS, HEAD_AXIS, None),         # fts blocks
+            P(GRAPH_AXIS, HEAD_AXIS),               # logit_dst blocks
+            P(GRAPH_AXIS, HEAD_AXIS),               # logit_src blocks
+            P(None),                                # dropout seed
+        ),
+        out_specs=P(GRAPH_AXIS, HEAD_AXIS, None),
+        check_vma=False,  # pallas out_shapes carry no vma annotation
+    )(graph.tiles, graph.fwd_count, graph.fwd_col, graph.fwd_tile,
+      graph.bwd_count, graph.bwd_row, graph.bwd_tile, graph.cs_of_step,
+      fts_p, ld_p, ls_p, seed)
+
+    return out_padded[:n].astype(fts.dtype)

@@ -27,7 +27,11 @@ class DataConfig:
     dataset: str = "acm"
     featype: str = "fea"  # 'fea' | 'adj' (ex_acm3025.py:92-93)
     edge_pad_to: int = 128
-    graph_format: str = "dense"  # dense | csr | ell | bcsr — container to feed
+    # container to feed: dense | csr | ell | bcsr; with mesh.graph_axis > 1
+    # also ring (sharded segment ops) | ring_bcsr (sharded flash, O(N/S))
+    graph_format: str = "dense"
+    tile_bm: int = 0  # BCSR tile height (0 = graph/bcsr.py default)
+    tile_bn: int = 0  # BCSR tile width  (0 = default)
 
 
 @dataclasses.dataclass

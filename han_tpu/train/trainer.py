@@ -41,6 +41,10 @@ from han_tpu.train.eval_embed import kmeans_eval, knn_eval
 def build_graphs(ds: HeteroDataset, cfg: Config):
     fmt = cfg.data.graph_format
     shards = cfg.mesh.graph_axis
+    from han_tpu.graph.bcsr import DEF_BM, DEF_BN
+
+    bm = cfg.data.tile_bm or DEF_BM
+    bn = cfg.data.tile_bn or DEF_BN
     if shards > 1:
         # multi-chip: the container IS the distribution strategy — the same
         # model code dispatches to the sharded kernels (ops/attention.py)
@@ -49,7 +53,7 @@ def build_graphs(ds: HeteroDataset, cfg: Config):
         if fmt in ("bcsr", "partitioned_bcsr"):
             from han_tpu.parallel.flash_shard import partition_bcsr
 
-            return [partition_bcsr(with_self_loops(a), shards)
+            return [partition_bcsr(with_self_loops(a), shards, bm=bm, bn=bn)
                     for a in ds.metapath_adjs]
         if fmt in ("csr", "partitioned"):
             from han_tpu.parallel.edge_partition import partition_csr
@@ -67,15 +71,24 @@ def build_graphs(ds: HeteroDataset, cfg: Config):
                         metapath_to_csr(a, edge_pad_to=cfg.data.edge_pad_to),
                         shards, pad_to=cfg.data.edge_pad_to)
                     for a in ds.metapath_adjs]
+        if fmt == "ring_bcsr":
+            # memory-scalable AND fast: O(N/S) features per chip, flash
+            # kernel per ring step (parallel/ring_bcsr.py)
+            from han_tpu.graph.build import with_self_loops
+            from han_tpu.parallel.ring_bcsr import ring_partition_bcsr
+
+            return [ring_partition_bcsr(with_self_loops(a), shards,
+                                        bm=bm, bn=bn)
+                    for a in ds.metapath_adjs]
         raise ValueError(
-            f"graph_format {fmt!r} has no partitioned variant "
-            "(use bcsr for the flash kernel, csr for segment ops, or ring)")
+            f"graph_format {fmt!r} has no partitioned variant (use bcsr "
+            "for the flash kernel, csr for segment ops, ring, or ring_bcsr)")
     if fmt == "dense":
         return [metapath_to_dense(a) for a in ds.metapath_adjs]
     if fmt == "bcsr":
         from han_tpu.graph.build import metapath_to_bcsr
 
-        return [metapath_to_bcsr(a) for a in ds.metapath_adjs]
+        return [metapath_to_bcsr(a, bm=bm, bn=bn) for a in ds.metapath_adjs]
     csrs = [metapath_to_csr(a, edge_pad_to=cfg.data.edge_pad_to) for a in ds.metapath_adjs]
     if fmt == "csr":
         return csrs
