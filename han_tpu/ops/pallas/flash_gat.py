@@ -27,9 +27,14 @@ Performance design (measured on TPU v5e):
 - **Heads fused.** All K heads run inside one invocation (static loop), so
   each adjacency tile — the dominant HBM term — is read ONCE per tile
   instead of K times, as int8 (4× less HBM than f32), upcast in-register.
-- **Natural layouts.** Features keep (N, K, D); rank-3 blocks (bn, K, D)
-  have full trailing dims (legal per TPU block rules), so no lane padding
-  is materialized in HBM. Per-head m/l/lse live in (K_pad, bm) scratch.
+- **Flat (rows, K·D) VMEM layout.** Feature/output/gradient blocks enter
+  the kernels flattened to rank-2: a rank-3 (·, K, D) VMEM block tiles its
+  last TWO dims as (8 sublanes × 128 lanes), i.e. 16× lane padding at D=8
+  (measured r3: the fused backward's scoped VMEM dropped from 51 MB to
+  under 30 MB — which also lets it run under vmapped meta-path towers —
+  and the bench fwd+bwd went 10.1 → 8.5 ms, fwd 3.2 → 2.7 ms). Heads
+  address static lane slices [h·D:(h+1)·D]. Per-head m/l/lse live in
+  (K_pad, bm) scratch.
 
 Backward = two more Pallas kernels (row-sweep for d_logit_dst, col-sweep
 for d_logit_src/dv, driven by the precomputed transposed map) with the same
@@ -91,8 +96,12 @@ def _tile_drop_keep(shape, dropout_p: float, seed, i_abs, strip_abs, h: int,
 
 def _fwd_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref, ld_ref,
                 ls_ref, v_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref, *,
-                slope: float, n_j: int, k: int, dropout_p: float,
+                slope: float, n_j: int, k: int, d: int, dropout_p: float,
                 interpret: bool):
+    # v/out/acc are FLAT (rows, K*D): rank-3 (·, K, D) VMEM blocks tile the
+    # last two dims as (8 sublanes, 128 lanes) — 16x lane padding at D=8.
+    # Flat blocks put K*D on the lane axis (64+ lanes), ~no padding; heads
+    # address static lane slices [h*d:(h+1)*d].
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -138,20 +147,22 @@ def _fwd_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref, ld_ref,
                         meta_ref[2] + h, interpret)
                 else:
                     p_agg = p
-                pv = jnp.dot(p_agg, v_ref[cs, h, :],
+                hd = slice(h * d, (h + 1) * d)
+                pv = jnp.dot(p_agg, v_ref[cs, hd],
                              preferred_element_type=jnp.float32)  # (BM, D)
-                acc_ref[:, h, :] = acc_ref[:, h, :] * scale[:, None] + pv
+                acc_ref[:, hd] = acc_ref[:, hd] * scale[:, None] + pv
                 m_ref[h, :] = m_new
                 l_ref[h, :] = l_new
 
     @pl.when(j == n_j - 1)
     def _finalize():
         for h in range(k):
+            hd = slice(h * d, (h + 1) * d)
             l = l_ref[h, :]
             m = m_ref[h, :]
             has_edge = m > (_NEG_INIT * 0.5)  # any real edge in this row
             inv = jnp.where(has_edge, 1.0 / jnp.maximum(l, 1e-30), 0.0)
-            out_ref[:, h, :] = acc_ref[:, h, :] * inv[:, None]
+            out_ref[:, hd] = acc_ref[:, hd] * inv[:, None]
             lse_ref[h, :] = jnp.where(
                 has_edge, m + jnp.log(jnp.maximum(l, 1e-30)), _NEG_INIT)
 
@@ -166,11 +177,13 @@ def _flash_fwd(fcnt, fcol, ftile, meta, tiles2d, ld, ls, v, *, slope: float,
     global-head offset, column-block offset] — the offsets globalize the
     dropout PRNG streams for graph-, head- and column-(ring-)sharded
     execution."""
-    _, k, d = v.shape
+    n_cols, k, d = v.shape
     kp, n_rows = ld.shape
     n_i = n_rows // bm
     n_j = fcol.shape[1]  # c_max: max occupied tiles per row block
-    kernel = functools.partial(_fwd_kernel, slope=slope, n_j=n_j, k=k,
+    kd = k * d
+    v2 = v.reshape(n_cols, kd)  # flat layout (see _fwd_kernel note)
+    kernel = functools.partial(_fwd_kernel, slope=slope, n_j=n_j, k=k, d=d,
                                dropout_p=dropout_p, interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -179,14 +192,14 @@ def _flash_fwd(fcnt, fcol, ftile, meta, tiles2d, ld, ls, v, *, slope: float,
             pl.BlockSpec((bm, bn), lambda i, j, cnt, col, td, mt: (td[i, j], 0)),
             pl.BlockSpec((kp, bm), lambda i, j, cnt, col, td, mt: (0, i)),
             pl.BlockSpec((kp, bn), lambda i, j, cnt, col, td, mt: (0, col[i, j])),
-            pl.BlockSpec((bn, k, d), lambda i, j, cnt, col, td, mt: (col[i, j], 0, 0)),
+            pl.BlockSpec((bn, kd), lambda i, j, cnt, col, td, mt: (col[i, j], 0)),
         ],
         out_specs=[
-            pl.BlockSpec((bm, k, d), lambda i, j, cnt, col, td, mt: (i, 0, 0)),
+            pl.BlockSpec((bm, kd), lambda i, j, cnt, col, td, mt: (i, 0)),
             pl.BlockSpec((kp, bm), lambda i, j, cnt, col, td, mt: (0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bm, k, d), jnp.float32),
+            pltpu.VMEM((bm, kd), jnp.float32),
             pltpu.VMEM((kp, bm), jnp.float32),
             pltpu.VMEM((kp, bm), jnp.float32),
         ],
@@ -197,12 +210,12 @@ def _flash_fwd(fcnt, fcol, ftile, meta, tiles2d, ld, ls, v, *, slope: float,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         out_shape=[
-            jax.ShapeDtypeStruct((n_rows, k, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, kd), jnp.float32),
             jax.ShapeDtypeStruct((kp, n_rows), jnp.float32),
         ],
         interpret=interpret,
-    )(fcnt, fcol, ftile, meta, tiles2d, ld, ls, v)
-    return out, lse
+    )(fcnt, fcol, ftile, meta, tiles2d, ld, ls, v2)
+    return out.reshape(n_rows, k, d), lse
 
 
 # ---------------------------------------------------------------------------
@@ -241,7 +254,7 @@ def _head_dz(on_edge, ld, ls, lse, delta, g_h, v_h, slope,
 def _bwd_row_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref,
                     ld_ref, ls_ref, v_ref, g_ref, lse_ref, delta_ref,
                     dld_ref, acc_ref, *, slope: float, n_j: int, k: int,
-                    dropout_p: float, interpret: bool):
+                    d: int, dropout_p: float, interpret: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -266,9 +279,10 @@ def _bwd_row_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref,
                             (cols_ref[i, j] + meta_ref[3]) * (bn // sub) + c,
                             meta_ref[2] + h, interpret)
                         if dropout_p > 0.0 else None)
+                hd = slice(h * d, (h + 1) * d)
                 _, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, cs],
                                   lse_ref[h, :], delta_ref[h, :],
-                                  g_ref[:, h, :], v_ref[cs, h, :], slope, mask)
+                                  g_ref[:, hd], v_ref[cs, hd], slope, mask)
                 acc_ref[h, :] += jnp.sum(dzs, axis=1)
 
     @pl.when(j == n_j - 1)
@@ -279,7 +293,7 @@ def _bwd_row_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref,
 def _bwd_col_kernel(counts_ref, rows_ref, tiles_ref, meta_ref, adj_ref,
                     ld_ref, ls_ref, v_ref, g_ref, lse_ref, delta_ref,
                     dls_ref, dv_ref, *rest, slope: float, n_i: int, k: int,
-                    bm: int, dropout_p: float, interpret: bool,
+                    d: int, bm: int, dropout_p: float, interpret: bool,
                     fuse_dld: bool = True):
     """Single-sweep backward: per occupied tile (column-major) compute dz
     once and scatter all three gradients — dls/dv into per-column-block
@@ -320,13 +334,14 @@ def _bwd_col_kernel(counts_ref, rows_ref, tiles_ref, meta_ref, adj_ref,
                             (jb + meta_ref[3]) * (bn // sub) + c,
                             meta_ref[2] + h, interpret)
                         if dropout_p > 0.0 else None)
+                hd = slice(h * d, (h + 1) * d)
                 c_agg, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, cs],
                                       lse_ref[h, :], delta_ref[h, :],
-                                      g_ref[:, h, :], v_ref[cs, h, :],
+                                      g_ref[:, hd], v_ref[cs, hd],
                                       slope, mask)
                 dls_acc[h, cs] += jnp.sum(dzs, axis=0)
-                dv_acc[cs, h, :] += jax.lax.dot_general(  # (c·m)^T · g
-                    c_agg, g_ref[:, h, :],
+                dv_acc[cs, hd] += jax.lax.dot_general(  # (c·m)^T · g
+                    c_agg, g_ref[:, hd],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 if fuse_dld:
@@ -354,11 +369,15 @@ def _flash_bwd(fcnt, fcol, ftile, bcnt, brow, btile, meta, tiles2d, ld, ls,
     c_max = fcol.shape[1]
     r_max = brow.shape[1]
     n_jb = n_cols // bn
+    kd = k * d
+    v2 = v.reshape(n_cols, kd)    # flat layout (see _fwd_kernel note)
+    g2 = g.reshape(n_rows, kd)
 
     if kp * n_rows * 4 <= _FUSED_DLD_BYTES:
         dls, dv, dld = pl.pallas_call(
             functools.partial(_bwd_col_kernel, slope=slope, n_i=r_max, k=k,
-                              bm=bm, dropout_p=dropout_p, interpret=interpret),
+                              d=d, bm=bm, dropout_p=dropout_p,
+                              interpret=interpret),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=4,
                 grid=(n_jb, r_max),
@@ -366,35 +385,35 @@ def _flash_bwd(fcnt, fcol, ftile, bcnt, brow, btile, meta, tiles2d, ld, ls,
                     pl.BlockSpec((bm, bn), lambda jb, it, c, m, td, mt: (td[jb, it], 0)),
                     pl.BlockSpec((kp, bm), lambda jb, it, c, m, td, mt: (0, m[jb, it])),
                     pl.BlockSpec((kp, bn), lambda jb, it, c, m, td, mt: (0, jb)),
-                    pl.BlockSpec((bn, k, d), lambda jb, it, c, m, td, mt: (jb, 0, 0)),
-                    pl.BlockSpec((bm, k, d), lambda jb, it, c, m, td, mt: (m[jb, it], 0, 0)),
+                    pl.BlockSpec((bn, kd), lambda jb, it, c, m, td, mt: (jb, 0)),
+                    pl.BlockSpec((bm, kd), lambda jb, it, c, m, td, mt: (m[jb, it], 0)),
                     pl.BlockSpec((kp, bm), lambda jb, it, c, m, td, mt: (0, m[jb, it])),
                     pl.BlockSpec((kp, bm), lambda jb, it, c, m, td, mt: (0, m[jb, it])),
                 ],
                 out_specs=[
                     pl.BlockSpec((kp, bn), lambda jb, it, c, m, td, mt: (0, jb)),
-                    pl.BlockSpec((bn, k, d), lambda jb, it, c, m, td, mt: (jb, 0, 0)),
+                    pl.BlockSpec((bn, kd), lambda jb, it, c, m, td, mt: (jb, 0)),
                     # dld: ONE full-width window, resident across the grid
                     pl.BlockSpec((kp, n_rows), lambda jb, it, c, m, td, mt: (0, 0)),
                 ],
                 scratch_shapes=[
                     pltpu.VMEM((kp, bn), jnp.float32),
-                    pltpu.VMEM((bn, k, d), jnp.float32),
+                    pltpu.VMEM((bn, kd), jnp.float32),
                 ],
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((kp, n_cols), jnp.float32),
-                jax.ShapeDtypeStruct((n_cols, k, d), jnp.float32),
+                jax.ShapeDtypeStruct((n_cols, kd), jnp.float32),
                 jax.ShapeDtypeStruct((kp, n_rows), jnp.float32),
             ],
             compiler_params=None if interpret else pltpu.CompilerParams(
-                vmem_limit_bytes=96 * 1024 * 1024),
+                vmem_limit_bytes=30 * 1024 * 1024),
             interpret=interpret,
-        )(bcnt, brow, btile, meta, tiles2d, ld, ls, v, g, lse, delta)
-        return dld, dls, dv
+        )(bcnt, brow, btile, meta, tiles2d, ld, ls, v2, g2, lse, delta)
+        return dld, dls, dv.reshape(n_cols, k, d)
 
     dld = pl.pallas_call(
-        functools.partial(_bwd_row_kernel, slope=slope, n_j=c_max, k=k,
+        functools.partial(_bwd_row_kernel, slope=slope, n_j=c_max, k=k, d=d,
                           dropout_p=dropout_p, interpret=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -403,8 +422,8 @@ def _flash_bwd(fcnt, fcol, ftile, bcnt, brow, btile, meta, tiles2d, ld, ls,
                 pl.BlockSpec((bm, bn), lambda i, j, c, m, td, mt: (td[i, j], 0)),
                 pl.BlockSpec((kp, bm), lambda i, j, c, m, td, mt: (0, i)),
                 pl.BlockSpec((kp, bn), lambda i, j, c, m, td, mt: (0, m[i, j])),
-                pl.BlockSpec((bn, k, d), lambda i, j, c, m, td, mt: (m[i, j], 0, 0)),
-                pl.BlockSpec((bm, k, d), lambda i, j, c, m, td, mt: (i, 0, 0)),
+                pl.BlockSpec((bn, kd), lambda i, j, c, m, td, mt: (m[i, j], 0)),
+                pl.BlockSpec((bm, kd), lambda i, j, c, m, td, mt: (i, 0)),
                 pl.BlockSpec((kp, bm), lambda i, j, c, m, td, mt: (0, i)),
                 pl.BlockSpec((kp, bm), lambda i, j, c, m, td, mt: (0, i)),
             ],
@@ -415,10 +434,10 @@ def _flash_bwd(fcnt, fcol, ftile, bcnt, brow, btile, meta, tiles2d, ld, ls,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(fcnt, fcol, ftile, meta, tiles2d, ld, ls, v, g, lse, delta)
+    )(fcnt, fcol, ftile, meta, tiles2d, ld, ls, v2, g2, lse, delta)
 
     dls, dv = pl.pallas_call(
-        functools.partial(_bwd_col_kernel, slope=slope, n_i=r_max, k=k,
+        functools.partial(_bwd_col_kernel, slope=slope, n_i=r_max, k=k, d=d,
                           bm=bm, dropout_p=dropout_p, interpret=interpret,
                           fuse_dld=False),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -428,29 +447,29 @@ def _flash_bwd(fcnt, fcol, ftile, bcnt, brow, btile, meta, tiles2d, ld, ls,
                 pl.BlockSpec((bm, bn), lambda jb, it, c, m, td, mt: (td[jb, it], 0)),
                 pl.BlockSpec((kp, bm), lambda jb, it, c, m, td, mt: (0, m[jb, it])),
                 pl.BlockSpec((kp, bn), lambda jb, it, c, m, td, mt: (0, jb)),
-                pl.BlockSpec((bn, k, d), lambda jb, it, c, m, td, mt: (jb, 0, 0)),
-                pl.BlockSpec((bm, k, d), lambda jb, it, c, m, td, mt: (m[jb, it], 0, 0)),
+                pl.BlockSpec((bn, kd), lambda jb, it, c, m, td, mt: (jb, 0)),
+                pl.BlockSpec((bm, kd), lambda jb, it, c, m, td, mt: (m[jb, it], 0)),
                 pl.BlockSpec((kp, bm), lambda jb, it, c, m, td, mt: (0, m[jb, it])),
                 pl.BlockSpec((kp, bm), lambda jb, it, c, m, td, mt: (0, m[jb, it])),
             ],
             out_specs=[
                 pl.BlockSpec((kp, bn), lambda jb, it, c, m, td, mt: (0, jb)),
-                pl.BlockSpec((bn, k, d), lambda jb, it, c, m, td, mt: (jb, 0, 0)),
+                pl.BlockSpec((bn, kd), lambda jb, it, c, m, td, mt: (jb, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((kp, bn), jnp.float32),
-                pltpu.VMEM((bn, k, d), jnp.float32),
+                pltpu.VMEM((bn, kd), jnp.float32),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((kp, n_cols), jnp.float32),
-            jax.ShapeDtypeStruct((n_cols, k, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_cols, kd), jnp.float32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(bcnt, brow, btile, meta, tiles2d, ld, ls, v, g, lse, delta)
-    return dld, dls, dv
+    )(bcnt, brow, btile, meta, tiles2d, ld, ls, v2, g2, lse, delta)
+    return dld, dls, dv.reshape(n_cols, k, d)
 
 
 # ---------------------------------------------------------------------------

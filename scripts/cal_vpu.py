@@ -66,36 +66,42 @@ def _prim_kernel(x_ref, o_ref, *, op, reps, d):
     o_ref[:] = acc + aux[:, None].astype(acc.dtype)
 
 
-def _fwd_strip_kernel(ld_ref, ls_ref, adj_ref, v_ref, o_ref, *, reps, d,
-                      mxu: bool):
+def _fwd_strip_kernel(ld_ref, ls_ref, adj_ref, v_ref, o_ref, acc_ref, *,
+                      reps, d, mxu: bool):
     """The exact per-(head, strip) forward math of flash_gat._fwd_kernel,
-    chained reps times through the online (m, l, acc) state."""
+    chained reps times through the online (m, l) state; acc_ref is a FLAT
+    (bm, 8·d) scratch updated via static lane slices — matching the
+    kernel's rank-2 (rows, K·D) layout (rank-3 acc pays 16x lane padding
+    at d=8)."""
     on_edge = adj_ref[:] != 0
+    acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def step(h, carry):
-        m_prev, l_prev, acc = carry
+        m_prev, l_prev = carry
         ld = ld_ref[0, :] + m_prev * 1e-9      # depend on carry
         ls = ls_ref[0, :]
         raw = ld[:, None] + ls[None, :]
-        z = jnp.where(raw >= 0, raw, 0.2 * raw)
-        z = jnp.where(on_edge, z, -1e9)
+        z = jnp.where(on_edge, jnp.maximum(raw, 0.2 * raw), -1e9)
         m_new = jnp.maximum(m_prev, jnp.max(z, axis=1))
         scale = jnp.exp(m_prev - m_new)
         p = jnp.exp(z - m_new[:, None])
         l_new = l_prev * scale + jnp.sum(p, axis=1)
         if mxu:
             pv = jnp.dot(p, v_ref[:], preferred_element_type=jnp.float32)
-            acc = acc * scale[:, None] + pv
-        else:
-            acc = acc * scale[:, None]
-        return m_new, l_new, acc
+            hd = (h % 8) * d  # h static (unrolled below) → static lane slice
+            acc_ref[:, hd:hd + d] = acc_ref[:, hd:hd + d] * scale[:, None] + pv
+        return m_new, l_new
+
+    def eight(_, carry):
+        for h in range(8):  # static unroll — mirrors the kernel's head loop
+            carry = step(h, carry)
+        return carry
 
     bm = ld_ref.shape[1]
     m0 = jnp.full((bm,), -1e9, jnp.float32)
     l0 = jnp.zeros((bm,), jnp.float32)
-    a0 = jnp.zeros((bm, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, reps, step, (m0, l0, a0))
-    o_ref[:] = acc + (m + l)[:, None]
+    m, l = jax.lax.fori_loop(0, reps // 8, eight, (m0, l0))
+    o_ref[:, :d] = acc_ref[:, :d] + (m + l)[:, None]
 
 
 def _fwd_strip_kernel_bf16(ld_ref, ls_ref, adj_ref, v_ref, o_ref, *, reps, d,
@@ -127,45 +133,51 @@ def _fwd_strip_kernel_bf16(ld_ref, ls_ref, adj_ref, v_ref, o_ref, *, reps, d,
     l0 = jnp.zeros((bm,), jnp.float32)
     a0 = jnp.zeros((bm, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, reps, step, (m0, l0, a0))
-    o_ref[:] = acc + (m + l)[:, None]
+    o_ref[:, :d] = acc + (m + l)[:, None]
 
 
-def _bwd_strip_kernel(ld_ref, ls_ref, adj_ref, v_ref, g_ref, o_ref, *,
-                      reps, d):
+def _bwd_strip_kernel(ld_ref, ls_ref, adj_ref, v_ref, g_ref, o_ref, dv_ref,
+                      *, reps, d):
     """The exact per-(head, strip) fused-backward math of
     flash_gat._bwd_col_kernel (fuse_dld path): _head_dz + the three
-    gradient contractions, chained through accumulators."""
+    gradient contractions; dv accumulates into a FLAT (sub, 8·d) scratch
+    via static lane slices (the kernel's layout)."""
     on_edge = adj_ref[:] != 0
     bm, sub = adj_ref.shape
+    dv_ref[:] = jnp.zeros_like(dv_ref)
 
     def step(h, carry):
-        dls, dv, dld = carry
+        dls, dld = carry
         ld = ld_ref[0, :] + dld * 1e-9
         ls = ls_ref[0, :]
         lse = ld * 0.5
         delta = ld * 0.25
         g_h = g_ref[:]
         raw = ld[:, None] + ls[None, :]
-        z = jnp.where(raw >= 0, raw, 0.2 * raw)
+        z = jnp.maximum(raw, 0.2 * raw)
         c = jnp.where(on_edge, jnp.exp(z - lse[:, None]), 0.0)
         gv = jax.lax.dot_general(
             g_h, v_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dz = c * gv - c * delta[:, None]
-        dslope = jnp.where(raw >= 0, 1.0, 0.2)
-        dzs = dz * dslope
+        dzs = jnp.where(raw >= 0, dz, 0.2 * dz)
         dls = dls * 0.5 + jnp.sum(dzs, axis=0)
-        dv = dv * 0.5 + jax.lax.dot_general(
+        hd = (h % 8) * d  # h static (unrolled below) → static lane slice
+        dv_ref[:, hd:hd + d] = dv_ref[:, hd:hd + d] * 0.5 + jax.lax.dot_general(
             c, g_h, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dld = dld * 0.5 + jnp.sum(dzs, axis=1)
-        return dls, dv, dld
+        return dls, dld
+
+    def eight(_, carry):
+        for h in range(8):  # static unroll — mirrors the kernel's head loop
+            carry = step(h, carry)
+        return carry
 
     dls0 = jnp.zeros((sub,), jnp.float32)
-    dv0 = jnp.zeros((sub, d), jnp.float32)
     dld0 = jnp.zeros((bm,), jnp.float32)
-    dls, dv, dld = jax.lax.fori_loop(0, reps, step, (dls0, dv0, dld0))
-    o_ref[:] = dv + dls[:, None] + dld[:d][None, :]
+    dls, dld = jax.lax.fori_loop(0, reps // 8, eight, (dls0, dld0))
+    o_ref[:, :d] = dv_ref[:, :d] + dls[:, None] + dld[:d][None, :]
 
 
 def _time_marginal(build, r_lo, r_hi, outer=5):
@@ -185,7 +197,16 @@ def _t1(f):
 
 
 def main(argv=None):
+    import os
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     p = argparse.ArgumentParser()
+    p.add_argument("--strips-only", action="store_true",
+                   help="skip the primitive-rate sweep (unchanged by kernel "
+                        "layout work); merge strip times into existing json")
     p.add_argument("--bm", type=int, default=512)
     p.add_argument("--sub", type=int, default=2048)
     p.add_argument("--d", type=int, default=8)
@@ -206,6 +227,12 @@ def main(argv=None):
 
     result = {"bm": bm, "sub": sub, "d": d, "elems_per_strip": elems,
               "device": str(jax.devices()[0]), "prim_rates_eps": {}}
+    if args.strips_only:
+        try:
+            with open(args.out) as f:
+                result = json.load(f)
+        except (OSError, ValueError):
+            pass
 
     def prim_build(op, x, reps):
         kern = functools.partial(_prim_kernel, op=op, reps=reps, d=d)
@@ -219,7 +246,8 @@ def main(argv=None):
         )
         return jax.jit(lambda: call(x))
 
-    for op in ["add", "mul", "lrelu", "select", "exp", "rowmax", "rowsum"]:
+    for op in ([] if args.strips_only else
+               ["add", "mul", "lrelu", "select", "exp", "rowmax", "rowsum"]):
         for name, x in [("f32", x32), ("bf16", x16)]:
             if op == "exp" and name == "bf16":
                 # exp(bf16) upcasts anyway on VPU; still measure it
@@ -236,9 +264,10 @@ def main(argv=None):
         kern = functools.partial(_fwd_strip_kernel, reps=reps, d=d, mxu=mxu)
         call = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((bm, d), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((bm, 8 * d), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bm, 8 * d), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
         )
@@ -249,7 +278,7 @@ def main(argv=None):
                                  mxu=mxu)
         call = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((bm, d), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((bm, 8 * d), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
@@ -262,9 +291,10 @@ def main(argv=None):
         kern = functools.partial(_bwd_strip_kernel, reps=reps, d=d)
         call = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((sub, d), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((sub, 8 * d), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((sub, 8 * d), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
         )
