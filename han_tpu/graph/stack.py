@@ -71,6 +71,57 @@ def stack_graphs(graphs: Sequence):
             n_edges=max(g.n_edges for g in graphs), n_tiles=t_max,
         )
 
+    if type(g0).__name__ == "PartitionedBCSR":
+        # EP x graph composition: per-shard leaves gain a leading P axis →
+        # (P, S, ...). Strip boundaries are edge-balanced PER meta-path, so
+        # n_loc (rows per shard) differs across graphs: unify to the max,
+        # padding each graph's local row blocks with zero-count entries
+        # and remapping perm into the widened shard slots.
+        from han_tpu.parallel.flash_shard import PartitionedBCSR
+
+        if any((g.bm, g.bn, g.n_pad, g.n_shards) !=
+               (g0.bm, g0.bn, g0.n_pad, g0.n_shards) for g in graphs):
+            raise ValueError("stacked PartitionedBCSR graphs must share "
+                             "tile geometry and shard count")
+        n_loc = max(g.n_loc for g in graphs)
+        nb_r_loc = n_loc // g0.bm
+        t_max = max(g.tiles.shape[1] for g in graphs)
+        c_max = max(g.fwd_col.shape[2] for g in graphs)
+        r_max = max(g.bwd_row.shape[2] for g in graphs)
+
+        def widen_rows(a, g):
+            # (S, nb_r_old[, w]) → (S, nb_r_loc[, w]); padding repeats the
+            # last row block (count 0 ⇒ compute predicated off anyway)
+            pad = nb_r_loc - a.shape[1]
+            if pad == 0:
+                return jnp.asarray(a)
+            return jnp.concatenate(
+                [jnp.asarray(a)] + [jnp.asarray(a[:, -1:])] * pad, axis=1)
+
+        def fixed_perm(g):
+            shard = jnp.asarray(g.perm) // g.n_loc
+            return jnp.asarray(g.perm) + shard * (n_loc - g.n_loc)
+
+        return PartitionedBCSR(
+            tiles=_stack([_pad_axis(g.tiles, t_max, 1, 0) for g in graphs]),
+            fwd_count=_stack([jnp.concatenate(
+                [jnp.asarray(g.fwd_count),
+                 jnp.zeros((g.n_shards, nb_r_loc - g.fwd_count.shape[1]),
+                           np.int32)], axis=1) for g in graphs]),
+            fwd_col=_stack([widen_rows(_pad_map(g.fwd_col, c_max), g)
+                            for g in graphs]),
+            fwd_tile=_stack([widen_rows(_pad_map(g.fwd_tile, c_max), g)
+                             for g in graphs]),
+            bwd_count=_stack([g.bwd_count for g in graphs]),
+            bwd_row=_stack([_pad_map(g.bwd_row, r_max) for g in graphs]),
+            bwd_tile=_stack([_pad_map(g.bwd_tile, r_max) for g in graphs]),
+            row_block_off=_stack([g.row_block_off for g in graphs]),
+            perm=_stack([fixed_perm(g) for g in graphs]),
+            n_nodes=g0.n_nodes, n_pad=g0.n_pad, n_loc=n_loc,
+            bm=g0.bm, bn=g0.bn, n_edges=max(g.n_edges for g in graphs),
+            n_shards=g0.n_shards,
+        )
+
     if isinstance(g0, CSRGraph):
         # pad edge arrays to a common length; pads keep the sentinel row
         # n_nodes, which every consumer drops, so the unified static

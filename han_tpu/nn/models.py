@@ -117,16 +117,23 @@ class HAN(nn.Module):
     @nn.compact
     def __call__(self, graphs, xs, *, deterministic: bool = True):
         if self.vmap_towers:
+            mesh = jax.sharding.get_abstract_mesh()
+            has_mp = (mesh is not None and not mesh.empty
+                      and "mp" in mesh.axis_names)
+            # spmd_axis_name threads the tower axis INTO any shard_map the
+            # towers contain (the Partitioned/Ring distributed backends):
+            # each mp shard then executes only its own towers — this is
+            # what composes EP with graph-axis edge partitioning
             vtower = nn.vmap(
                 _MetapathTower,
                 in_axes=(0, 0), out_axes=0,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
+                spmd_axis_name="mp" if has_mp else None,
             )(self.hid_units, self.n_heads, self.activation, self.residual,
               self.attn_drop, self.ffd_drop, self.impl, name="towers")
             embeds = vtower(graphs, xs, deterministic=deterministic)  # (P,N,KH)
-            mesh = jax.sharding.get_abstract_mesh()
-            if mesh is not None and not mesh.empty and "mp" in mesh.axis_names:
+            if has_mp:
                 # pin the tower axis to the mp mesh axis so GSPMD executes
                 # each tower on its own shard (EP), gathering only the
                 # (P, N, K·hid) embeddings for the semantic fusion below

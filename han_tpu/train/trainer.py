@@ -173,11 +173,16 @@ class Trainer:
         else:
             self.mesh = None
         # meta-path expert parallelism: vmapped tower stack over stacked
-        # graphs, P axis pinned to the 'mp' mesh axis (nn/models.py)
+        # graphs, P axis pinned to the 'mp' mesh axis (nn/models.py).
+        # Composes with graph-axis edge partitioning: per-shard containers
+        # stack to (P, S, ...) leaves and the towers' shard_maps extend
+        # over 'mp' via spmd_axis_name.
         if cfg.mesh.mp_axis > 1:
-            if cfg.mesh.graph_axis > 1:
-                raise ValueError("mp_axis and graph_axis sharding cannot be "
-                                 "combined yet (stacked partitioned graphs)")
+            if cfg.mesh.graph_axis > 1 and cfg.data.graph_format not in (
+                    "bcsr", "partitioned_bcsr"):
+                raise ValueError(
+                    "mp_axis x graph_axis composition requires "
+                    "graph_format='bcsr' (stacked PartitionedBCSR)")
             cfg.model.vmap_towers = True
         self._ep = cfg.model.vmap_towers
         if self._ep and cfg.model.arch != "han":
