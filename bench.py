@@ -104,6 +104,13 @@ def main(argv=None):
                    help="node ordering for tile locality: bfs|labels|degree|none")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--fwd-only", action="store_true")
+    p.add_argument("--no-dense", action="store_true",
+                   help="skip the XLA dense baseline (OOMs at large N); "
+                        "vs_baseline is null")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="feature dtype fed to the backends (accumulators "
+                        "stay f32)")
     args = p.parse_args(argv)
 
     import jax
@@ -129,7 +136,9 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     k, d = args.heads, args.dim
-    fts = jnp.asarray(rng.standard_normal((args.n, k, d)).astype(np.float32))
+    fdt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    fts = jnp.asarray(rng.standard_normal((args.n, k, d)).astype(np.float32),
+                      dtype=fdt)
     ld = jnp.asarray(rng.standard_normal((args.n, k)).astype(np.float32))
     ls = jnp.asarray(rng.standard_normal((args.n, k)).astype(np.float32))
 
@@ -199,15 +208,18 @@ def main(argv=None):
     phase = "fwd" if args.fwd_only else "fwd+bwd"
     print(f"# timing impl={args.impl} ({phase})", file=sys.stderr, flush=True)
     t_main = median_time(make_main(args.impl), fts, ld, ls, reps=args.iters)
-    print(f"# t_main={t_main*1e3:.3f} ms; timing dense baseline",
-          file=sys.stderr, flush=True)
-    t_base = median_time(make_main("dense"), fts, ld, ls, reps=args.iters)
+    if args.no_dense:
+        t_base = None
+    else:
+        print(f"# t_main={t_main*1e3:.3f} ms; timing dense baseline",
+              file=sys.stderr, flush=True)
+        t_base = median_time(make_main("dense"), fts, ld, ls, reps=args.iters)
     t_fwd = (t_main if args.fwd_only else
              median_time(make_fwd(args.impl), fts, ld, ls, reps=args.iters))
 
     detail = {
         "t_main_ms": round(t_main * 1e3, 3),
-        "t_xla_dense_ms": round(t_base * 1e3, 3),
+        "t_xla_dense_ms": round(t_base * 1e3, 3) if t_base else None,
         "t_fwd_ms": round(t_fwd * 1e3, 3),
         "total_edges": int(total_edges),
         "backend": jax.default_backend(),
@@ -246,12 +258,14 @@ def main(argv=None):
             "calibrated": True,
         }
 
+    dt_tag = "" if args.dtype == "float32" else f", {args.dtype}"
     result = {
         "metric": f"edges/s/chip ({args.impl} fused attention aggregate "
-                  f"{phase}, N={args.n}, P={args.metapaths}, K={k}, D={d})",
+                  f"{phase}, N={args.n}, P={args.metapaths}, K={k}, "
+                  f"D={d}{dt_tag})",
         "value": round(total_edges * k / t_main, 1),
         "unit": "edges/s/chip",
-        "vs_baseline": round(t_base / t_main, 4),
+        "vs_baseline": round(t_base / t_main, 4) if t_base else None,
         "detail": detail,
     }
     print(json.dumps(result))

@@ -52,14 +52,22 @@ class GATConv(nn.Module):
     residual: bool = False
     concat_heads: bool = True
     impl: Impl = "auto"
+    # compute dtype for features and MXU transforms (params stay f32, all
+    # matmuls accumulate f32 via preferred_element_type; attention logits
+    # are promoted to f32 before the softmax). bfloat16 halves feature HBM
+    # and doubles MXU throughput; the VPU-bound softmax phase measures
+    # NEUTRAL-to-slower in bf16 on v5e (results/CALIBRATION.json), which is
+    # why logits stay f32.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, graph, x: jax.Array, *, deterministic: bool = True,
                  return_coefs: bool = False):
         n, f = x.shape
         k, d = self.num_heads, self.out_dim
+        x = x.astype(self.dtype)
 
-        w = self.param("kernel", glorot, (f, k, d))  # per-head transform
+        w = self.param("kernel", glorot, (f, k, d)).astype(self.dtype)
         w1 = self.param("attn_dst_kernel", glorot, (k, d))
         b1 = self.param("attn_dst_bias", zeros, (k,))
         w2 = self.param("attn_src_kernel", glorot, (k, d))
@@ -82,9 +90,15 @@ class GATConv(nn.Module):
             fts = jnp.einsum("nf,fkd->nkd", x, w,
                              preferred_element_type=jnp.float32).astype(x.dtype)
 
-        # per-head scalar attention terms (reference f_1 / f_2, layers.py:23-24)
-        logit_dst = jnp.einsum("nkd,kd->nk", fts, w1) + b1
-        logit_src = jnp.einsum("nkd,kd->nk", fts, w2) + b2
+        # per-head scalar attention terms (reference f_1 / f_2, layers.py:
+        # 23-24) — f32 regardless of compute dtype: the softmax phase gains
+        # nothing from bf16 on v5e and exp() wants the mantissa
+        logit_dst = (jnp.einsum("nkd,kd->nk", fts, w1,
+                                preferred_element_type=jnp.float32) + b1
+                     ).astype(jnp.float32)
+        logit_src = (jnp.einsum("nkd,kd->nk", fts, w2,
+                                preferred_element_type=jnp.float32) + b2
+                     ).astype(jnp.float32)
 
         # feature dropout before aggregation (reference layers.py:31-32)
         fts_agg = fts
@@ -103,14 +117,15 @@ class GATConv(nn.Module):
         if return_coefs:
             agg, coefs = agg
 
-        ret = agg + b_out[None]  # (N, K, D)
+        ret = agg.astype(jnp.float32) + b_out[None]  # (N, K, D), f32 out
 
         if self.residual:
             if f != d:
                 w_res = self.param("res_kernel", glorot, (f, k, d))
-                ret = ret + jnp.einsum("nf,fkd->nkd", x, w_res)
+                ret = ret + jnp.einsum("nf,fkd->nkd", x, w_res,
+                                       preferred_element_type=jnp.float32)
             else:
-                ret = ret + x[:, None, :]
+                ret = ret + x[:, None, :].astype(jnp.float32)
 
         out = self.activation(ret)
         out = out.reshape(n, k * d) if self.concat_heads else out.mean(axis=1)

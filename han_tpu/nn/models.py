@@ -40,20 +40,21 @@ class GAT(nn.Module):
     attn_drop: float = 0.0
     ffd_drop: float = 0.0
     impl: Impl = "auto"
+    dtype: jnp.dtype = jnp.float32  # compute dtype (see layers.GATConv)
 
     @nn.compact
     def __call__(self, graph, x: jax.Array, *, deterministic: bool = True):
         h = GATConv(self.hid_units[0], self.n_heads[0], activation=self.activation,
                     attn_drop=self.attn_drop, ffd_drop=self.ffd_drop,
-                    residual=False, impl=self.impl)(graph, x, deterministic=deterministic)
+                    residual=False, impl=self.impl, dtype=self.dtype)(graph, x, deterministic=deterministic)
         for i in range(1, len(self.hid_units)):
             h = GATConv(self.hid_units[i], self.n_heads[i], activation=self.activation,
                         attn_drop=self.attn_drop, ffd_drop=self.ffd_drop,
-                        residual=self.residual, impl=self.impl)(
+                        residual=self.residual, impl=self.impl, dtype=self.dtype)(
                             graph, h, deterministic=deterministic)
         logits = GATConv(self.n_classes, self.n_heads[-1], activation=lambda v: v,
                          attn_drop=self.attn_drop, ffd_drop=self.ffd_drop,
-                         residual=False, concat_heads=False, impl=self.impl)(
+                         residual=False, concat_heads=False, impl=self.impl, dtype=self.dtype)(
                              graph, h, deterministic=deterministic)
         return logits  # (N, C)
 
@@ -69,18 +70,19 @@ class _MetapathTower(nn.Module):
     attn_drop: float
     ffd_drop: float
     impl: Impl
+    dtype: jnp.dtype
 
     @nn.compact
     def __call__(self, graph, x, *, deterministic: bool = True, return_coefs: bool = False):
         out = GATConv(self.hid_units[0], self.n_heads[0], activation=self.activation,
                       attn_drop=self.attn_drop, ffd_drop=self.ffd_drop,
-                      residual=False, impl=self.impl)(
+                      residual=False, impl=self.impl, dtype=self.dtype)(
                           graph, x, deterministic=deterministic, return_coefs=return_coefs)
         h, coefs = out if return_coefs else (out, None)
         for i in range(1, len(self.hid_units)):
             h = GATConv(self.hid_units[i], self.n_heads[i], activation=self.activation,
                         attn_drop=self.attn_drop, ffd_drop=self.ffd_drop,
-                        residual=self.residual, impl=self.impl)(
+                        residual=self.residual, impl=self.impl, dtype=self.dtype)(
                             graph, h, deterministic=deterministic)
         if return_coefs:
             return h, coefs.mean(axis=0)  # mean over heads (reference gat.py:172-173)
@@ -112,6 +114,7 @@ class HAN(nn.Module):
     attn_drop: float = 0.0
     ffd_drop: float = 0.0
     impl: Impl = "auto"
+    dtype: jnp.dtype = jnp.float32  # compute dtype (see layers.GATConv)
     vmap_towers: bool = False
 
     @nn.compact
@@ -131,7 +134,7 @@ class HAN(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 spmd_axis_name="mp" if has_mp else None,
             )(self.hid_units, self.n_heads, self.activation, self.residual,
-              self.attn_drop, self.ffd_drop, self.impl, name="towers")
+              self.attn_drop, self.ffd_drop, self.impl, self.dtype, name="towers")
             embeds = vtower(graphs, xs, deterministic=deterministic)  # (P,N,KH)
             if has_mp:
                 # pin the tower axis to the mp mesh axis so GSPMD executes
@@ -145,7 +148,7 @@ class HAN(nn.Module):
             for p, (graph, x) in enumerate(zip(graphs, xs)):
                 tower = _MetapathTower(self.hid_units, self.n_heads, self.activation,
                                        self.residual, self.attn_drop, self.ffd_drop,
-                                       self.impl, name=f"tower_{p}")
+                                       self.impl, self.dtype, name=f"tower_{p}")
                 embeds.append(tower(graph, x, deterministic=deterministic))
             multi = jnp.stack(embeds, axis=1)  # (N, P, K*hid)
         final, alphas = SemanticAttention(self.semantic_dim)(multi)
@@ -173,6 +176,7 @@ class HANShared(nn.Module):
     attn_drop: float = 0.0
     ffd_drop: float = 0.0
     impl: Impl = "auto"
+    dtype: jnp.dtype = jnp.float32  # compute dtype (see layers.GATConv)
     return_coefs: bool = False
 
     @nn.compact
@@ -181,7 +185,7 @@ class HANShared(nn.Module):
         for p, graph in enumerate(graphs):
             tower = _MetapathTower(self.hid_units, self.n_heads, self.activation,
                                    self.residual, self.attn_drop, self.ffd_drop,
-                                   self.impl, name=f"tower_{p}")
+                                   self.impl, self.dtype, name=f"tower_{p}")
             out = tower(graph, x, deterministic=deterministic,
                         return_coefs=self.return_coefs)
             if self.return_coefs:

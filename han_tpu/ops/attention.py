@@ -274,11 +274,10 @@ def attention_aggregate(
     if impl == "ell_fused":
         from han_tpu.ops.pallas.ell_fused import ell_fused_attention
 
-        if coef_dropout > 0.0:
-            raise NotImplementedError(
-                "ell_fused has no fused coefficient dropout; use impl='ell' "
-                "or 'flash' for training with attn_drop > 0")
-        return ell_fused_attention(graph, fts, logit_dst, logit_src, slope=slope)
+        return ell_fused_attention(
+            graph, fts, logit_dst, logit_src, slope=slope,
+            coef_dropout=coef_dropout, dropout_rng=dropout_rng,
+        )
     if impl == "csr":
         return csr_attention(
             graph, fts, logit_dst, logit_src, slope=slope,

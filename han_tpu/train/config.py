@@ -20,6 +20,9 @@ class ModelConfig:
     ffd_drop: float = 0.6
     impl: str = "auto"  # dense | ell | csr | flash (needs bcsr graphs) | auto
     vmap_towers: bool = False  # meta-path EP: one vmapped tower stack
+    # compute dtype for features/MXU transforms ('float32' | 'bfloat16');
+    # params + softmax logits + accumulators stay f32 (nn/layers.GATConv)
+    dtype: str = "float32"
 
 
 @dataclasses.dataclass

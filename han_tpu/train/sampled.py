@@ -69,9 +69,11 @@ class SampledTrainer:
         self.eval_batches = eval_batches
         self.logger = logger or MetricLogger(cfg.train.log_file)
 
-        if cfg.model.impl not in ("auto", "ell"):
-            raise ValueError("sampled training runs on the ell backend")
-        cfg.model.impl = "ell"
+        if cfg.model.impl not in ("auto", "ell", "ell_fused"):
+            raise ValueError(
+                "sampled training runs on the ell or ell_fused backends")
+        if cfg.model.impl == "auto":
+            cfg.model.impl = "ell"
         self.model = build_model(ds, cfg)
         self._is_han = cfg.model.arch.startswith("han")
         # self-loops match the full-graph path (reference adj_to_bias adds I,
@@ -92,26 +94,31 @@ class SampledTrainer:
         self._build_steps()
 
     # -- host-side block assembly -----------------------------------------
-    def _make_batch(self, seeds: np.ndarray, valid: np.ndarray, sample_seed: int):
+    def _make_batch(self, seeds: np.ndarray, valid: np.ndarray,
+                    sample_seed: int, *, fanout: int | None = None,
+                    block_size: int | None = None):
         """Blocks for one seed batch → (graphs, xs, labels, mask) device args.
 
         ``valid`` masks padded seed slots (eval tail batches). Static
-        shapes: every output has the same shape for every batch.
+        shapes: every output has the same shape for every batch (a distinct
+        fanout/block_size — e.g. exact eval — compiles its own step once).
         """
+        fanout = fanout if fanout is not None else self.fanout
+        block_size = block_size if block_size is not None else self.block_size
         graphs, xs = [], []
-        lbl = np.zeros((self.block_size, self.labels.shape[1]), np.float32)
-        mask = np.zeros(self.block_size, np.float32)
+        lbl = np.zeros((block_size, self.labels.shape[1]), np.float32)
+        mask = np.zeros(block_size, np.float32)
         for p, csr in enumerate(self.csrs):
             sb = sample_subgraph(
-                csr, seeds, fanout=self.fanout, hops=self.hops,
-                block_size=self.block_size, seed=sample_seed * 7919 + p)
-            self.sampled_edge_count += int((sb.nbr < self.block_size).sum())
+                csr, seeds, fanout=fanout, hops=self.hops,
+                block_size=block_size, seed=sample_seed * 7919 + p)
+            self.sampled_edge_count += int((sb.nbr < block_size).sum())
             ell = sb.ell()
             # pin static metadata to capacity so the jitted step's treedef
             # (and hence the compiled program) is identical for every batch
             graphs.append(EllGraph(nbr=ell.nbr, deg=ell.deg,
-                                   n_nodes=self.block_size,
-                                   n_edges=self.block_size * self.fanout))
+                                   n_nodes=block_size,
+                                   n_edges=block_size * fanout))
             xs.append(jnp.asarray(sb.gather_features(self.features)))
             if p == 0:
                 real = sb.nodes >= 0
@@ -195,21 +202,54 @@ class SampledTrainer:
         args = (graphs, xs) if self._is_han else (graphs[0], xs[0])
         return self.model.init(rng, *args)
 
-    def evaluate(self, params, idx: np.ndarray, *, epoch: int = 0):
-        """Masked loss/accuracy over ``idx`` via SAMPLED blocks: every node
-        in ``idx`` is scored exactly once, but its logits see only the
-        bounded-fanout sampled neighborhood (deterministic in ``epoch``),
-        not the full graph — i.e. sampled evaluation, the standard
-        trade-off for >HBM graphs. With ``fanout >= max degree`` the
-        blocks are the full neighborhoods and the metric is exact
-        (tests/test_sampled_trainer.py::test_seed_rows_match_full_graph)."""
+    def exact_eval_plan(self, max_block: int = 4_000_000):
+        """(fanout, block_size) for EXACT evaluation: fanout = the max
+        in-degree over the meta-path graphs, so every sampled block is the
+        full L-hop neighborhood. Returns None when the implied block
+        capacity exceeds ``max_block`` (degree-skewed graphs where exact
+        full-neighborhood blocks don't fit — callers fall back to sampled
+        eval with a logged flag)."""
+        deg_max = max(
+            int(np.diff(c.row_ptr).max()) if c.n_edges else 1
+            for c in self.csrs)
+        block = self.batch_size
+        width = self.batch_size
+        for _ in range(self.hops):
+            width = width * deg_max  # worst-case frontier growth
+            block = block + min(width, max_block)
+            if block > max_block:
+                return None
+        return deg_max, int(block)
+
+    def evaluate(self, params, idx: np.ndarray, *, epoch: int = 0,
+                 exact: bool = False):
+        """Masked loss/accuracy over ``idx``. Default: SAMPLED blocks —
+        every node in ``idx`` is scored exactly once, but its logits see
+        only the bounded-fanout sampled neighborhood (deterministic in
+        ``epoch``), the standard trade-off for >HBM graphs.
+
+        ``exact=True``: full-neighborhood blocks (fanout = max degree), so
+        the metric equals full-graph evaluation
+        (tests/test_sampled_trainer.py::test_exact_eval_matches_full_graph)
+        — falls back to sampled with an ``exact_eval_unavailable`` log line
+        when full blocks exceed capacity."""
+        fanout = block = None
+        if exact:
+            plan = self.exact_eval_plan()
+            if plan is None:
+                self.logger.log({"exact_eval_unavailable":
+                                 "full-neighborhood blocks exceed capacity",
+                                 "fallback": "sampled"})
+            else:
+                fanout, block = plan
         tot_l = tot_c = tot_n = 0.0
         for bi, (seeds, valid) in enumerate(
                 self._seed_batches(idx, shuffle=False, epoch=0)):
             if self.eval_batches is not None and bi >= self.eval_batches:
                 break
             graphs, xs, lbl, mask = self._make_batch(
-                seeds, valid, sample_seed=10_000_019 + epoch)
+                seeds, valid, sample_seed=10_000_019 + epoch,
+                fanout=fanout, block_size=block)
             l, c, n, _ = self._eval_step(params, graphs, xs, lbl, mask)
             tot_l += float(l); tot_c += float(c); tot_n += float(n)
         tot_n = max(tot_n, 1.0)
@@ -406,7 +446,9 @@ class DPSampledTrainer(SampledTrainer):
         super().__init__(ds, cfg, batch_size=batch_size, fanout=fanout,
                          hops=hops, block_size=block_size, **kw)
 
-    def _make_batch(self, seeds: np.ndarray, valid: np.ndarray, sample_seed: int):
+    def _make_batch(self, seeds: np.ndarray, valid: np.ndarray,
+                    sample_seed: int, *, fanout: int | None = None,
+                    block_size: int | None = None):
         from jax.sharding import NamedSharding, PartitionSpec
         from han_tpu.parallel.mesh import GRAPH_AXIS
 
@@ -414,7 +456,8 @@ class DPSampledTrainer(SampledTrainer):
         seed_groups = seeds.reshape(s, -1)
         valid_groups = valid.reshape(s, -1)
         parts = [super(DPSampledTrainer, self)._make_batch(
-                     seed_groups[i], valid_groups[i], sample_seed * s + i)
+                     seed_groups[i], valid_groups[i], sample_seed * s + i,
+                     fanout=fanout, block_size=block_size)
                  for i in range(s)]
         stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *parts)
         return jax.device_put(

@@ -101,7 +101,8 @@ def build_model(ds: HeteroDataset, cfg: Config) -> nn.Module:
     m = cfg.model
     common = dict(hid_units=tuple(m.hid_units), n_heads=tuple(m.n_heads),
                   residual=m.residual, attn_drop=m.attn_drop,
-                  ffd_drop=m.ffd_drop, impl=m.impl)
+                  ffd_drop=m.ffd_drop, impl=m.impl,
+                  dtype=jnp.dtype(m.dtype))
     if m.arch == "han":
         return HAN(n_classes=ds.n_classes, semantic_dim=m.semantic_dim,
                    vmap_towers=m.vmap_towers, **common)

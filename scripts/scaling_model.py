@@ -1,0 +1,124 @@
+"""Scaling-efficiency accounting (r2 VERDICT item 6): measured collective
+bytes + an ICI model → projected 1→S-chip efficiency per distributed
+backend, against the BASELINE.md ≥80% north star.
+
+Real multi-chip hardware is not reachable in this environment (one v5e
+chip behind a tunnel), so the projection combines:
+
+- per-step collective bytes COUNTED from the optimized HLO of the full
+  jitted train step compiled on an S-device CPU mesh (utils/comm.py —
+  what XLA actually emitted, not hand math);
+- the single-chip step time MEASURED on the real v5e (passed in);
+- the v5e ICI link model (45 GB/s per direction, stated assumption).
+
+Writes a table to stdout; redirect into results/SCALING.md material.
+
+    python scripts/scaling_model.py --dataset dblp --t1 <measured seconds>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="dblp")
+    p.add_argument("--t1", type=float, required=True,
+                   help="measured single-chip train-step seconds (real TPU)")
+    p.add_argument("--shards", default="2,4,8")
+    args = p.parse_args(argv)
+
+    from han_tpu.datasets.registry import load_dataset
+    from han_tpu.graph.build import with_self_loops
+    from han_tpu.nn.losses import l2_regularizer, masked_softmax_cross_entropy
+    from han_tpu.nn.models import HAN
+    from han_tpu.parallel.flash_shard import partition_bcsr
+    from han_tpu.parallel.mesh import make_mesh
+    from han_tpu.parallel.ring_bcsr import ring_partition_bcsr
+    from han_tpu.utils.comm import ICI_BW, collective_stats, projected_efficiency
+
+    ds = load_dataset(args.dataset)
+    x = jnp.asarray(ds.features)
+    labels = jnp.asarray(ds.labels)
+    mask = jnp.asarray(ds.train_mask)
+    model = HAN(n_classes=ds.n_classes, hid_units=(8,), n_heads=(8, 1),
+                attn_drop=0.6, ffd_drop=0.6)
+    tx = optax.adam(5e-3)
+
+    rows = []
+    for s in [int(v) for v in args.shards.split(",")]:
+        mesh = make_mesh(graph=s, heads=1)
+        for name, build in (
+            ("flash_shard", lambda a, s=s: partition_bcsr(
+                with_self_loops(a), s)),
+            ("ring_bcsr", lambda a, s=s: ring_partition_bcsr(
+                with_self_loops(a), s)),
+        ):
+            graphs = [build(a) for a in ds.metapath_adjs]
+            xs = [x for _ in graphs]
+            with jax.set_mesh(mesh):
+                params = model.init(jax.random.PRNGKey(0), graphs, xs)
+                opt_state = tx.init(params)
+
+                def train_step(params, opt_state, rng, graphs, xs):
+                    def loss_fn(p):
+                        logits, _, _ = model.apply(
+                            p, graphs, xs, deterministic=False,
+                            rngs={"dropout": rng})
+                        return (masked_softmax_cross_entropy(
+                            logits, labels, mask)
+                            + l2_regularizer(p, 1e-3))
+
+                    loss, grads = jax.value_and_grad(loss_fn)(params)
+                    updates, opt_state = tx.update(grads, opt_state)
+                    return optax.apply_updates(params, updates), opt_state, loss
+
+                compiled = jax.jit(train_step).lower(
+                    params, opt_state, jax.random.PRNGKey(1), graphs, xs
+                ).compile()
+            st = collective_stats(compiled, s)
+            eff = projected_efficiency(args.t1, st.wire_bytes_per_device, s)
+            eff_ov = projected_efficiency(
+                args.t1, st.wire_bytes_per_device, s,
+                overlap=0.8 if name == "ring_bcsr" else 0.0)
+            rows.append({
+                "backend": name, "shards": s,
+                "collectives": st.counts,
+                "wire_mb_per_device": round(
+                    st.wire_bytes_per_device / 2**20, 2),
+                "t_ici_ms": round(st.ici_seconds() * 1e3, 3),
+                "t_compute_ms": round(args.t1 / s * 1e3, 3),
+                "projected_eff": round(eff, 3),
+                "projected_eff_80pct_overlap": round(eff_ov, 3),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+
+    print(f"\nmodel: t1={args.t1*1e3:.1f} ms measured on v5e; "
+          f"ICI {ICI_BW/1e9:.0f} GB/s per direction (assumption)")
+    print("\n| backend | S | wire MiB/dev | t_ici ms | t_comp ms | eff "
+          "| eff (80% overlap) |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['backend']} | {r['shards']} | {r['wire_mb_per_device']}"
+              f" | {r['t_ici_ms']} | {r['t_compute_ms']} |"
+              f" {r['projected_eff']} | {r['projected_eff_80pct_overlap']} |")
+    return rows
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

@@ -47,6 +47,37 @@ def test_ell_fused_gradients_match_ell():
                                    atol=5e-4, rtol=5e-4)
 
 
+def test_ell_fused_dropout_matches_ell():
+    """Fused coefficient dropout (r2 VERDICT item 5): the keep mask is the
+    SAME (N, F, K) bernoulli draw the XLA ell path makes, so outputs match
+    exactly for the same rng."""
+    ell, fts, ld, ls = case()
+    key = jax.random.PRNGKey(5)
+    ref = ell_attention(ell, fts, ld, ls, coef_dropout=0.4, dropout_rng=key)
+    out = attention_aggregate(ell, fts, ld, ls, impl="ell_fused",
+                              coef_dropout=0.4, dropout_rng=key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ell_fused_dropout_gradients_match_ell():
+    ell, fts, ld, ls = case()
+    key = jax.random.PRNGKey(9)
+
+    def loss(impl):
+        def f(fts_, ld_, ls_):
+            return jnp.sum(attention_aggregate(
+                ell, fts_, ld_, ls_, impl=impl, coef_dropout=0.3,
+                dropout_rng=key) ** 2)
+        return f
+
+    g_ref = jax.grad(loss("ell"), argnums=(0, 1, 2))(fts, ld, ls)
+    g_fused = jax.grad(loss("ell_fused"), argnums=(0, 1, 2))(fts, ld, ls)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
 def test_ell_fused_in_gatconv():
     from han_tpu.nn.layers import GATConv
 

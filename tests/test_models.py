@@ -52,6 +52,53 @@ def test_han_backends_agree(tiny_ds, kind):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.parametrize("kind", ["dense", "csr", "ell"])
+def test_han_bf16_close_to_f32(tiny_ds, kind):
+    """bf16 compute dtype (r2 VERDICT item 3): features/MXU transforms in
+    bf16, params + logits + accumulators f32 — outputs track the f32 model
+    to bf16 tolerance on every backend; logits dtype stays f32."""
+    graphs, xs = make_inputs(tiny_ds, kind)
+    kw = dict(n_classes=tiny_ds.n_classes, hid_units=(8,), n_heads=(2, 1))
+    m32 = HAN(**kw)
+    m16 = HAN(dtype=jnp.bfloat16, **kw)
+    params = m32.init(jax.random.PRNGKey(2), graphs, xs)
+    out32 = m32.apply(params, graphs, xs)
+    out16 = m16.apply(params, graphs, xs)
+    assert out16[0].dtype == jnp.float32
+    for a, b in zip(out16, out32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-2, rtol=5e-2)
+
+
+def test_han_bf16_trains(tiny_ds):
+    """A few bf16 training steps stay finite and reduce the loss."""
+    graphs, xs = make_inputs(tiny_ds, "csr")
+    model = HAN(n_classes=tiny_ds.n_classes, hid_units=(8,), n_heads=(2, 1),
+                dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), graphs, xs)
+    labels = jnp.asarray(tiny_ds.labels)
+    mask = jnp.asarray(tiny_ds.train_mask)
+    tx = optax.adam(5e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            logits, _, _ = model.apply(p, graphs, xs)
+            return masked_softmax_cross_entropy(logits, labels, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    losses = []
+    for _ in range(12):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_han_all_params_receive_grads(tiny_ds):
     graphs, xs = make_inputs(tiny_ds)
     model = HAN(n_classes=tiny_ds.n_classes, hid_units=(8,), n_heads=(2, 1))

@@ -61,6 +61,53 @@ def test_seed_rows_match_full_graph(small_ds):
         rtol=1e-4, atol=1e-5)
 
 
+def test_exact_eval_matches_full_graph(small_ds):
+    """evaluate(exact=True) builds full-neighborhood blocks (fanout = max
+    degree) → the metric equals full-graph evaluation, independent of the
+    trainer's own (small) sampling fanout."""
+    ds = small_ds
+    t = make_trainer(ds, batch_size=16, fanout=3)  # aggressively sampled
+    seeds = np.arange(16, dtype=np.int32)
+    valid = np.ones(16, bool)
+    graphs, xs, _, _ = t._make_batch(seeds, valid, sample_seed=0)
+    params = t.model.init(jax.random.PRNGKey(0), graphs, xs)
+
+    val_idx = np.where(ds.val_mask)[0]
+    l_s, a_s = t.evaluate(params, val_idx)              # sampled (fanout 3)
+    l_e, a_e = t.evaluate(params, val_idx, exact=True)  # full neighborhoods
+
+    # full-graph reference with the SAME params
+    from han_tpu.graph.build import metapath_to_csr
+    from han_tpu.graph.containers import ell_from_csr
+    import jax.numpy as jnp
+
+    full_graphs = [ell_from_csr(metapath_to_csr(a)) for a in ds.metapath_adjs]
+    x = np.asarray(ds.features)
+    logits, _ = t._apply(params, full_graphs, [x, x], deterministic=True)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    lbl = jnp.asarray(ds.labels[val_idx], jnp.float32)
+    ref_l = float(jnp.mean(-jnp.sum(lbl * logp[val_idx], axis=-1)))
+    ref_a = float(jnp.mean((jnp.argmax(logits[val_idx], -1)
+                            == jnp.argmax(lbl, -1)).astype(jnp.float32)))
+    np.testing.assert_allclose(l_e, ref_l, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(a_e, ref_a, rtol=1e-6)
+    assert abs(l_s - ref_l) > 1e-6  # the sampled metric really is sampled
+
+
+def test_exact_eval_unavailable_falls_back(small_ds):
+    t = make_trainer(small_ds, batch_size=16, fanout=3)
+    assert t.exact_eval_plan(max_block=64) is None  # capacity too small
+    graphs, xs, _, _ = t._make_batch(np.arange(16, dtype=np.int32),
+                                     np.ones(16, bool), sample_seed=0)
+    params = t.model.init(jax.random.PRNGKey(0), graphs, xs)
+    rows = []
+    t.logger.log = lambda rec: rows.append(rec)
+    t.exact_eval_plan = lambda max_block=64: None
+    l, a = t.evaluate(params, np.where(small_ds.val_mask)[0], exact=True)
+    assert any("exact_eval_unavailable" in r for r in rows)
+    assert np.isfinite(l)
+
+
 def test_batches_share_one_treedef(small_ds):
     """Every batch must produce the identical pytree structure + shapes so
     the jitted step compiles exactly once."""
