@@ -87,6 +87,13 @@ class BCSRGraph:
     bn: int
     n_edges: int
     n_tiles: int  # true occupied tile count (T_pad >= n_tiles >= 1)
+    # optional edge-domain (sorted COO + row_ptr) view of the same graph:
+    # lets ``impl="auto"`` dispatch a low-density BCSR to the csr segment-op
+    # backend (results/CROSSOVER_r4.md) without rebuilding the container.
+    # Cost: 12 bytes/edge next to the tile bitmaps.
+    edge_row_ptr: jax.Array | None = None  # int32[N + 1]
+    edge_col: jax.Array | None = None      # int32[E]
+    edge_row: jax.Array | None = None      # int32[E]
 
     @property
     def nb_r(self) -> int:
@@ -108,13 +115,32 @@ class BCSRGraph:
         """Fraction of the padded dense tile grid that is occupied."""
         return self.n_tiles / (self.nb_r * self.nb_c)
 
+    def elems_per_edge(self) -> float:
+        """Tile elements the flash kernel sweeps per real edge
+        (= occupancy() · n_pad² / E). The dispatch quantity for
+        flash-vs-csr: flash's work scales with swept tile area, csr's with
+        E — see results/CROSSOVER_r4.md for the measured crossover."""
+        return self.n_tiles * self.bm * self.bn / max(self.n_edges, 1)
+
+    def as_csr(self) -> CSRGraph:
+        """Edge-domain view for the csr segment-op backend (requires the
+        builder's ``keep_edges=True``, the default)."""
+        if self.edge_col is None:
+            raise ValueError(
+                "this BCSRGraph was built with keep_edges=False; rebuild "
+                "with keep_edges=True for csr dispatch")
+        return CSRGraph(row_ptr=self.edge_row_ptr, col_idx=self.edge_col,
+                        row_idx=self.edge_row, n_nodes=self.n_nodes,
+                        n_edges=self.n_edges)
+
 
 jax.tree_util.register_pytree_node(
     BCSRGraph,
     lambda g: ((g.tiles, g.fwd_count, g.fwd_col, g.fwd_tile,
-                g.bwd_count, g.bwd_row, g.bwd_tile),
+                g.bwd_count, g.bwd_row, g.bwd_tile,
+                g.edge_row_ptr, g.edge_col, g.edge_row),
                (g.n_nodes, g.n_pad, g.bm, g.bn, g.n_edges, g.n_tiles)),
-    lambda meta, data: BCSRGraph(*data, *meta),
+    lambda meta, data: BCSRGraph(*data[:7], *meta, *data[7:]),
 )
 
 
@@ -182,13 +208,28 @@ def build_tile_arrays(rows: np.ndarray, cols: np.ndarray, nb_r: int,
 
 def bcsr_from_coo(rows: np.ndarray, cols: np.ndarray, n: int, *,
                   bm: int = DEF_BM, bn: int = DEF_BN,
-                  n_edges: int | None = None) -> BCSRGraph:
-    """Build a BCSRGraph from COO edge lists (host-side, O(E))."""
+                  n_edges: int | None = None,
+                  keep_edges: bool = True) -> BCSRGraph:
+    """Build a BCSRGraph from COO edge lists (host-side, O(E)).
+
+    ``keep_edges`` also stores the row-sorted edge list (+12 B/edge) so
+    ``impl="auto"`` can dispatch low-tile-density graphs to the csr
+    backend (as_csr / results/CROSSOVER_r4.md)."""
     rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
     bm, bn, n_pad = pick_tiles(n, bm, bn)
     nb_r, nb_c = n_pad // bm, n_pad // bn
     (tiles, fwd_count, fwd_col, fwd_tile, bwd_count, bwd_row, bwd_tile,
      n_tiles) = build_tile_arrays(rows, cols, nb_r, nb_c, bm, bn)
+    edge_row_ptr = edge_col = edge_row = None
+    if keep_edges:
+        order = np.lexsort((cols, rows))  # row-major (segment ops expect
+        # indices_are_sorted; ops/attention.segment_softmax)
+        edge_row = jnp.asarray(rows[order].astype(np.int32))
+        edge_col = jnp.asarray(cols[order].astype(np.int32))
+        counts = np.bincount(rows, minlength=n).astype(np.int64)
+        edge_row_ptr = jnp.asarray(
+            np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
     return BCSRGraph(
         tiles=jnp.asarray(tiles),
         fwd_count=jnp.asarray(fwd_count),
@@ -200,6 +241,7 @@ def bcsr_from_coo(rows: np.ndarray, cols: np.ndarray, n: int, *,
         n_nodes=n, n_pad=n_pad, bm=bm, bn=bn,
         n_edges=int(rows.shape[0]) if n_edges is None else int(n_edges),
         n_tiles=n_tiles,
+        edge_row_ptr=edge_row_ptr, edge_col=edge_col, edge_row=edge_row,
     )
 
 

@@ -44,6 +44,16 @@ from han_tpu.graph.containers import CSRGraph, DenseGraph, EllGraph, MASK_VALUE
 
 Impl = Literal["auto", "dense", "ell", "ell_fused", "csr", "flash"]
 
+# flash-vs-csr crossover for ``impl="auto"`` on BCSR inputs, measured on
+# the real v5e at N=65536 / E≈2M across tile densities
+# (results/CROSSOVER_r4.md): the flash kernel sweeps
+# ``graph.elems_per_edge()`` = occupancy()·n_pad²/E tile elements per real
+# edge; the csr segment-op backend pays a (large, shape-independent)
+# per-edge cost instead. Flash stays ahead until the swept area per edge
+# exceeds ~2000 elements — i.e. on everything except near-structureless
+# scatter — and below that csr wins on swept area alone.
+FLASH_MAX_ELEMS_PER_EDGE = 2000.0
+
 
 def leaky_relu(x: jax.Array, slope: float) -> jax.Array:
     return jnp.where(x >= 0, x, slope * x)
@@ -255,7 +265,16 @@ def attention_aggregate(
         elif isinstance(graph, CSRGraph):
             impl = "csr"
         elif type(graph).__name__ == "BCSRGraph":
-            impl = "flash"
+            # occupancy-aware dispatch (results/CROSSOVER_r4.md): flash
+            # while the per-edge swept tile area stays under the measured
+            # crossover; beyond it the edge-domain csr backend wins, and the
+            # container carries its own edge view (bcsr.as_csr)
+            if (graph.edge_col is not None
+                    and graph.elems_per_edge() > FLASH_MAX_ELEMS_PER_EDGE):
+                graph = graph.as_csr()
+                impl = "csr"
+            else:
+                impl = "flash"
         else:
             raise TypeError(f"unknown graph container {type(graph)}")
     if impl == "dense":

@@ -303,7 +303,7 @@ def _bwd_col_kernel(counts_ref, rows_ref, tiles_ref, meta_ref, adj_ref,
     ``fuse_dld=False`` (huge-N fallback): no dld output — the separate
     row-sweep kernel produces it instead."""
     if fuse_dld:
-        dld_ref, dls_acc, dv_acc = rest
+        dld_ref, dls_acc, dv_acc, dld_tile = rest
     else:
         dld_ref, (dls_acc, dv_acc) = None, rest
     jb = pl.program_id(0)
@@ -324,6 +324,8 @@ def _bwd_col_kernel(counts_ref, rows_ref, tiles_ref, meta_ref, adj_ref,
         bn = adj_ref.shape[1]
         sub = min(bn, 2 * SUB) if dropout_p == 0.0 else min(SUB, bn)
         rb = rows_ref[jb, it]
+        if fuse_dld:
+            dld_tile[:] = jnp.zeros_like(dld_tile)
         for c in range(bn // sub):
             cs = slice(c * sub, (c + 1) * sub)
             on_edge = adj_ref[:, cs] != 0
@@ -345,8 +347,13 @@ def _bwd_col_kernel(counts_ref, rows_ref, tiles_ref, meta_ref, adj_ref,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 if fuse_dld:
-                    cur = dld_ref[h, pl.ds(rb * bm, bm)]
-                    dld_ref[h, pl.ds(rb * bm, bm)] = cur + jnp.sum(dzs, axis=1)
+                    # accumulate per tile in scratch; ONE dynamic-slice
+                    # read-modify-write of the resident dld window per grid
+                    # step instead of k * (bn // sub) of them
+                    dld_tile[h, :] += jnp.sum(dzs, axis=1)
+        if fuse_dld:
+            cur = dld_ref[:, pl.ds(rb * bm, bm)]
+            dld_ref[:, pl.ds(rb * bm, bm)] = cur + dld_tile[:]
 
     @pl.when(it == n_i - 1)
     def _fin():
@@ -358,6 +365,28 @@ def _bwd_col_kernel(counts_ref, rows_ref, tiles_ref, meta_ref, adj_ref,
 # VMEM across the whole grid; beyond this, fall back to a separate
 # row-sweep kernel for dld
 _FUSED_DLD_BYTES = 12 * 1024 * 1024
+
+
+def _bwd_vmem_limit(bm: int, bn: int, kp: int, kd: int, n_rows: int,
+                    dropout_p: float) -> int:
+    """Scoped-VMEM ceiling for the fused backward, derived from the actual
+    block shapes (×2 double buffering on streamed blocks) plus the resident
+    dld window, scratch, and the per-strip f32 compute temporaries — a flat
+    30 MB constant (r3) broke configs larger than the one it was measured
+    on (ADVICE r3)."""
+    sub = min(bn, 2 * SUB) if dropout_p == 0.0 else min(SUB, bn)
+    f = 4
+    streamed = (bm * bn                       # adj tile, int8
+                + 3 * kp * bm * f             # ld, lse, delta
+                + kp * bn * f                 # ls
+                + bn * kd * f                 # v2
+                + bm * kd * f                 # g2
+                + kp * bn * f + bn * kd * f)  # dls, dv outputs
+    scratch = kp * bn * f + bn * kd * f + kp * bm * f
+    resident = kp * n_rows * f                # dld window
+    temps = 6 * bm * sub * f                  # raw/z/c/gv/dz + drop mask
+    need = 2 * streamed + scratch + resident + temps
+    return min(max(int(need * 1.35), 32 * 1024 * 1024), 100 * 1024 * 1024)
 
 
 def _flash_bwd(fcnt, fcol, ftile, bcnt, brow, btile, meta, tiles2d, ld, ls,
@@ -399,6 +428,7 @@ def _flash_bwd(fcnt, fcol, ftile, bcnt, brow, btile, meta, tiles2d, ld, ls,
                 scratch_shapes=[
                     pltpu.VMEM((kp, bn), jnp.float32),
                     pltpu.VMEM((bn, kd), jnp.float32),
+                    pltpu.VMEM((kp, bm), jnp.float32),  # per-tile dld
                 ],
             ),
             out_shape=[
@@ -407,7 +437,8 @@ def _flash_bwd(fcnt, fcol, ftile, bcnt, brow, btile, meta, tiles2d, ld, ls,
                 jax.ShapeDtypeStruct((kp, n_rows), jnp.float32),
             ],
             compiler_params=None if interpret else pltpu.CompilerParams(
-                vmem_limit_bytes=30 * 1024 * 1024),
+                vmem_limit_bytes=_bwd_vmem_limit(bm, bn, kp, kd, n_rows,
+                                                 dropout_p)),
             interpret=interpret,
         )(bcnt, brow, btile, meta, tiles2d, ld, ls, v2, g2, lse, delta)
         return dld, dls, dv.reshape(n_cols, k, d)

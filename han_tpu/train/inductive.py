@@ -28,14 +28,30 @@ from han_tpu.parallel.mesh import GRAPH_AXIS
 class InductiveTrainer:
     def __init__(self, ds: MultiGraphDataset, *, hid_units=(256, 256),
                  n_heads=(4, 4, 6), lr=0.005, l2_coef=0.0, residual=True,
+                 attn_drop: float = 0.0, ffd_drop: float = 0.0,
+                 patience: int | None = None, impl: str = "auto",
                  batch_size: int = 2, mesh=None, seed: int = 0):
         self.ds = ds
         self.mesh = mesh
         self.batch_size = batch_size
         self.l2_coef = l2_coef
+        self.patience = patience
+        self.attn_drop = attn_drop
+        self.ffd_drop = ffd_drop
+        self._rng = jax.random.PRNGKey(seed + 1)
+        if impl not in ("auto", "dense"):
+            # the padded multi-graph batch (G, N_max, N_max) vmaps one
+            # DenseGraph per component (reference process_ppi.py pads dense
+            # adjs); sparse containers have per-graph static metadata and
+            # cannot share one vmapped program
+            import warnings
+
+            warnings.warn(f"InductiveTrainer ignores impl={impl!r}: padded "
+                          "multi-graph batching is dense by design")
         n_labels = ds.labels.shape[-1]
         self.model = GAT(n_classes=n_labels, hid_units=hid_units,
-                         n_heads=n_heads, residual=residual, impl="dense")
+                         n_heads=n_heads, residual=residual, impl="dense",
+                         attn_drop=attn_drop, ffd_drop=ffd_drop)
         self.tx = optax.adam(lr)
         n_max = ds.adj.shape[1]
         adj0 = DenseGraph(adj=jnp.asarray(ds.adj[0]), n_nodes=n_max)
@@ -47,20 +63,29 @@ class InductiveTrainer:
     def _build(self):
         n_max = self.ds.adj.shape[1]
 
-        def batched_apply(params, adj_b, x_b):
-            def one(adj, x):
+        def batched_apply(params, adj_b, x_b, rng=None):
+            def one(adj, x, r):
                 g = DenseGraph(adj=adj, n_nodes=n_max)
-                return self.model.apply(params, g, x)
-            return jax.vmap(one)(adj_b, x_b)
+                if r is None:
+                    return self.model.apply(params, g, x)
+                return self.model.apply(params, g, x, deterministic=False,
+                                        rngs={"dropout": r})
+            if rng is None:
+                return jax.vmap(lambda a, x: one(a, x, None))(adj_b, x_b)
+            rngs = jax.random.split(rng, adj_b.shape[0])
+            return jax.vmap(one)(adj_b, x_b, rngs)
 
-        def loss_fn(params, adj_b, x_b, y_b, m_b):
-            logits = batched_apply(params, adj_b, x_b)  # (B, N, C)
+        def loss_fn(params, adj_b, x_b, y_b, m_b, rng):
+            logits = batched_apply(params, adj_b, x_b, rng)  # (B, N, C)
             per_graph = jax.vmap(masked_sigmoid_cross_entropy)(logits, y_b, m_b)
             return jnp.mean(per_graph) + l2_regularizer(params, self.l2_coef), logits
 
-        def train_step(params, opt_state, adj_b, x_b, y_b, m_b):
+        use_dropout = self.attn_drop > 0.0 or self.ffd_drop > 0.0
+
+        def train_step(params, opt_state, adj_b, x_b, y_b, m_b, rng):
             (loss, logits), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, adj_b, x_b, y_b, m_b)
+                loss_fn, has_aux=True)(params, adj_b, x_b, y_b, m_b,
+                                       rng if use_dropout else None)
             updates, opt_state = self.tx.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, logits
@@ -74,7 +99,7 @@ class InductiveTrainer:
             batch_sharding = NamedSharding(self.mesh, P(GRAPH_AXIS))
             self.train_step = jax.jit(
                 train_step,
-                in_shardings=(None, None) + (batch_sharding,) * 4)
+                in_shardings=(None, None) + (batch_sharding,) * 4 + (None,))
             self.eval_step = jax.jit(
                 eval_step, in_shardings=(None,) + (batch_sharding,) * 4)
         else:
@@ -106,22 +131,40 @@ class InductiveTrainer:
     def fit(self, epochs: int = 20, *, log=print) -> dict[str, Any]:
         rng = np.random.default_rng(0)
         history = []
+        best = {"f1": -1.0, "loss": np.inf, "params": None, "epoch": -1}
+        bad_epochs = 0
         for epoch in range(epochs):
             t0 = time.time()
             losses = []
             for adj_b, x_b, y_b, m_b in self._batches("train", rng):
+                self._rng, sub = jax.random.split(self._rng)
                 self.params, self.opt_state, loss, _ = self.train_step(
                     self.params, self.opt_state,
                     jnp.asarray(adj_b), jnp.asarray(x_b),
-                    jnp.asarray(y_b), jnp.asarray(m_b))
+                    jnp.asarray(y_b), jnp.asarray(m_b), sub)
                 losses.append(float(loss))
             val = self.evaluate("val")
             history.append({"epoch": epoch, "train_loss": float(np.mean(losses)),
                             **{f"val_{k}": v for k, v in val.items()},
                             "time_s": round(time.time() - t0, 3)})
             log(history[-1])
+            # reference-style early stop (ex_acm3025.py:225-240 adapted to
+            # micro-F1): keep params on strict best; patience on either
+            # metric matching its best
+            if self.patience is not None:
+                improved_any = (val["micro_f1"] >= best["f1"]
+                                or val["loss"] <= best["loss"])
+                if val["micro_f1"] >= best["f1"] and val["loss"] <= best["loss"]:
+                    best.update(f1=val["micro_f1"], loss=val["loss"],
+                                params=self.params, epoch=epoch)
+                bad_epochs = 0 if improved_any else bad_epochs + 1
+                if bad_epochs > self.patience:
+                    break
+        if self.patience is not None and best["params"] is not None:
+            self.params = best["params"]
         test = self.evaluate("test")
-        return {"history": history, **{f"test_{k}": v for k, v in test.items()}}
+        return {"history": history, "best_epoch": best["epoch"],
+                **{f"test_{k}": v for k, v in test.items()}}
 
     def evaluate(self, which: str) -> dict[str, float]:
         losses, f1s = [], []

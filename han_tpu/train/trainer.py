@@ -471,6 +471,8 @@ def run(cfg: Config, ds: HeteroDataset | None = None) -> dict[str, Any]:
             ds, hid_units=tuple(cfg.model.hid_units),
             n_heads=tuple(cfg.model.n_heads), lr=cfg.train.lr,
             l2_coef=cfg.train.l2_coef, residual=cfg.model.residual,
+            attn_drop=cfg.model.attn_drop, ffd_drop=cfg.model.ffd_drop,
+            patience=cfg.train.patience, impl=cfg.model.impl,
             batch_size=max(2, cfg.mesh.graph_axis), mesh=mesh,
             seed=cfg.train.seed)
         result = trainer.fit(epochs=cfg.train.epochs)

@@ -60,20 +60,46 @@ class CollectiveStats:
         return self.wire_bytes_per_device / bw
 
 
-def collective_stats(compiled, n_shards: int) -> CollectiveStats:
+def _while_body_names(text: str) -> set:
+    """Names of computations used as while-loop bodies (one level; our
+    lax.fori_loop ring rotations put their ppermutes directly in the body)."""
+    names = set()
+    for m in re.finditer(r"\bwhile\([^)]*\)[^\n]*?body=\s*%?([\w.\-]+)", text):
+        names.add(m.group(1))
+    return names
+
+
+def collective_stats(compiled, n_shards: int, *,
+                     warn_if_none: bool = True,
+                     while_trip_count: int = 1) -> CollectiveStats:
     """Parse a jax Compiled object's optimized HLO for collective ops.
 
-    ``compiled`` = jax.jit(f).lower(*args).compile(); counts every
-    collective instruction once (while-loop bodies appear once in HLO —
-    multiply by trip count externally if the loop dominates)."""
+    ``compiled`` = jax.jit(f).lower(*args).compile(). Collectives inside
+    while-loop BODIES (e.g. the lax.fori_loop ring rotations of
+    parallel/ring_bcsr.py) appear once in HLO but execute once per trip —
+    they are counted with ``while_trip_count`` as the multiplier (pass the
+    known static trip count, e.g. S for an S-step ring).
+
+    ``warn_if_none``: a multi-shard program that parses to ZERO collectives
+    almost always means the HLO text format drifted (the regex below assumes
+    ``%name = shape op(...)``) — warn loudly rather than let callers report
+    a silently-perfect projected efficiency."""
     text = compiled.as_text()
+    body_names = _while_body_names(text)
     counts: dict[str, int] = {}
     logical: dict[str, float] = {}
     wire = 0.0
     s = max(n_shards, 2)
     ring = (s - 1) / s
+    current_comp = ""
     for line in text.splitlines():
+        raw = line
         line = line.strip()
+        # computation header: `%name (params...) -> result {` at indent 0
+        hm = re.match(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*\(.*\{\s*$", raw)
+        if hm and not raw.startswith(" "):
+            current_comp = hm.group(1)
+            continue
         # result shape = token before " = op-name(", e.g.
         #   %ag = f32[8192,8,64]{...} all-gather(%x), ...
         m = re.match(r"(?:%\S+\s*=\s*)?(\(?[\w\[\],{}:()\s]*?)\s*"
@@ -87,19 +113,33 @@ def collective_stats(compiled, n_shards: int) -> CollectiveStats:
             continue  # count start+done pairs once (at the start)
         shapes = [_shape_bytes(dt, dims) for dt, dims in _SHAPE_RE.findall(
             m.group(1).replace(" ", ""))]
+        if f"{kind}-start(" in line and len(shapes) > 1:
+            # async collectives have a tuple result (operand, result, ...);
+            # the RESULT is the last shape token — summing the whole tuple
+            # would double-count the moved bytes
+            shapes = shapes[-1:]
         nbytes = float(sum(shapes))
-        counts[kind] = counts.get(kind, 0) + 1
-        logical[kind] = logical.get(kind, 0.0) + nbytes
+        mult = while_trip_count if current_comp in body_names else 1
+        counts[kind] = counts.get(kind, 0) + mult
+        logical[kind] = logical.get(kind, 0.0) + nbytes * mult
         if kind == "all-gather":
-            wire += nbytes * ring
+            wire += nbytes * ring * mult
         elif kind == "all-reduce":
-            wire += 2.0 * nbytes * ring
+            wire += 2.0 * nbytes * ring * mult
         elif kind == "reduce-scatter":
-            wire += nbytes * (s - 1)  # result is the 1/S piece
+            wire += nbytes * (s - 1) * mult  # result is the 1/S piece
         elif kind == "collective-permute":
-            wire += nbytes
+            wire += nbytes * mult
         elif kind == "all-to-all":
-            wire += nbytes * ring
+            wire += nbytes * ring * mult
+    if warn_if_none and n_shards > 1 and not counts:
+        import warnings
+
+        warnings.warn(
+            f"collective_stats: {n_shards}-shard program parsed to ZERO "
+            "collectives — either the program is truly collective-free or "
+            "the HLO text format drifted; efficiency projections from this "
+            "result are unreliable", stacklevel=2)
     return CollectiveStats(counts=counts, logical_bytes=logical,
                            wire_bytes_per_device=wire)
 

@@ -34,14 +34,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _prim_body(op: str, d: int):
     """One pass over the strip. Returns fn(acc, aux) -> (acc, aux)."""
+    # chain constants must be exactly representable in bf16 (1 ± 2^-7) or
+    # the bf16 trace folds them to ×1.0 and XLA deletes the op entirely —
+    # the r3 CALIBRATION.json published impossible 66 Te/s bf16 mul rates
+    # from exactly that (VERDICT r3 missing #5). 0.9921875 decays the chain
+    # toward zero (TPU flushes subnormals; multiply stays full-rate).
     if op == "add":
-        return lambda acc, aux: (acc + 1.0000001, aux)
+        return lambda acc, aux: (acc + 0.0078125, aux)
     if op == "mul":
-        return lambda acc, aux: (acc * 1.0000001, aux)
+        return lambda acc, aux: (acc * 0.9921875, aux)
     if op == "lrelu":
         return lambda acc, aux: (jnp.maximum(acc, 0.2 * acc), aux)
     if op == "select":
-        return lambda acc, aux: (jnp.where(acc >= 0, acc, acc * 1.0000001), aux)
+        return lambda acc, aux: (jnp.where(acc >= 0, acc, acc * 0.9921875), aux)
     if op == "exp":
         # exp(x * tiny) stays ~1.0 forever: stable chained transcendental
         return lambda acc, aux: (jnp.exp(acc * 1e-9), aux)

@@ -37,13 +37,15 @@ import optax
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--dataset", default="dblp")
+    p.add_argument("--dataset", default="dblp",
+                   help="registry dataset, or 'synth65k' for the 65k-node "
+                        "community-power-law crossover graph")
     p.add_argument("--t1", type=float, required=True,
                    help="measured single-chip train-step seconds (real TPU)")
     p.add_argument("--shards", default="2,4,8")
+    p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
-    from han_tpu.datasets.registry import load_dataset
     from han_tpu.graph.build import with_self_loops
     from han_tpu.nn.losses import l2_regularizer, masked_softmax_cross_entropy
     from han_tpu.nn.models import HAN
@@ -52,7 +54,27 @@ def main(argv=None):
     from han_tpu.parallel.ring_bcsr import ring_partition_bcsr
     from han_tpu.utils.comm import ICI_BW, collective_stats, projected_efficiency
 
-    ds = load_dataset(args.dataset)
+    if args.dataset == "synth65k":
+        import pathlib
+        import sys as _sys
+
+        _sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+        from han_tpu.graph.synthetic import HeteroDataset
+        from scripts.flash_scale_demo import community_powerlaw
+
+        n = 65536
+        rng = np.random.default_rng(0)
+        adjs = [community_powerlaw(n, 2_000_000, seed=7)]
+        labels = np.zeros((n, 4), np.float32)
+        labels[np.arange(n), rng.integers(0, 4, n)] = 1.0
+        masks = np.zeros((3, n), bool)
+        masks[0, :1024] = masks[1, 1024:1536] = masks[2, 1536:] = True
+        ds = HeteroDataset(adjs, rng.standard_normal(
+            (n, 64)).astype(np.float32), labels, *masks, name="synth65k")
+    else:
+        from han_tpu.datasets.registry import load_dataset
+
+        ds = load_dataset(args.dataset)
     x = jnp.asarray(ds.features)
     labels = jnp.asarray(ds.labels)
     mask = jnp.asarray(ds.train_mask)
@@ -91,7 +113,11 @@ def main(argv=None):
                 compiled = jax.jit(train_step).lower(
                     params, opt_state, jax.random.PRNGKey(1), graphs, xs
                 ).compile()
-            st = collective_stats(compiled, s)
+            # ring rotations live in a lax.fori_loop body: one HLO
+            # instruction, S executions (utils/comm.py while_trip_count)
+            st = collective_stats(compiled, s,
+                                  while_trip_count=s if name == "ring_bcsr"
+                                  else 1)
             eff = projected_efficiency(args.t1, st.wire_bytes_per_device, s)
             eff_ov = projected_efficiency(
                 args.t1, st.wire_bytes_per_device, s,
@@ -117,6 +143,11 @@ def main(argv=None):
         print(f"| {r['backend']} | {r['shards']} | {r['wire_mb_per_device']}"
               f" | {r['t_ici_ms']} | {r['t_compute_ms']} |"
               f" {r['projected_eff']} | {r['projected_eff_80pct_overlap']} |")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"dataset": args.dataset, "t1_s": args.t1,
+                       "ici_gbps": ICI_BW / 1e9, "rows": rows}, f, indent=1)
+        print(f"wrote {args.out}")
     return rows
 
 
