@@ -322,7 +322,10 @@ def _bwd_col_kernel(counts_ref, rows_ref, tiles_ref, meta_ref, adj_ref,
     @pl.when(it < counts_ref[jb])
     def _compute():
         bn = adj_ref.shape[1]
-        sub = min(bn, 2 * SUB) if dropout_p == 0.0 else min(SUB, bn)
+        # full-width strips with dropout off: the flat layout brought the
+        # per-strip f32 temps down enough that one 2048-wide pass fits
+        # scoped VMEM (r2's rank-3 layout could not go past 1024)
+        sub = min(bn, 4 * SUB) if dropout_p == 0.0 else min(SUB, bn)
         rb = rows_ref[jb, it]
         if fuse_dld:
             dld_tile[:] = jnp.zeros_like(dld_tile)
@@ -374,7 +377,7 @@ def _bwd_vmem_limit(bm: int, bn: int, kp: int, kd: int, n_rows: int,
     dld window, scratch, and the per-strip f32 compute temporaries — a flat
     30 MB constant (r3) broke configs larger than the one it was measured
     on (ADVICE r3)."""
-    sub = min(bn, 2 * SUB) if dropout_p == 0.0 else min(SUB, bn)
+    sub = min(bn, 4 * SUB) if dropout_p == 0.0 else min(SUB, bn)
     f = 4
     streamed = (bm * bn                       # adj tile, int8
                 + 3 * kp * bm * f             # ld, lse, delta
@@ -384,9 +387,12 @@ def _bwd_vmem_limit(bm: int, bn: int, kp: int, kd: int, n_rows: int,
                 + kp * bn * f + bn * kd * f)  # dls, dv outputs
     scratch = kp * bn * f + bn * kd * f + kp * bm * f
     resident = kp * n_rows * f                # dld window
-    temps = 6 * bm * sub * f                  # raw/z/c/gv/dz + drop mask
+    # Mosaic keeps ~8 (bm, sub) f32 temporaries live on the kernel stack
+    # (raw/z/c/c_agg/gv/dz/dzs + spill): measured 49.3 MB demand at
+    # bn=4096/sub=2048 — a 6-pass estimate under-allocated there
+    temps = 8 * bm * sub * f
     need = 2 * streamed + scratch + resident + temps
-    return min(max(int(need * 1.35), 32 * 1024 * 1024), 100 * 1024 * 1024)
+    return min(max(int(need * 1.6), 48 * 1024 * 1024), 110 * 1024 * 1024)
 
 
 def _flash_bwd(fcnt, fcol, ftile, bcnt, brow, btile, meta, tiles2d, ld, ls,
