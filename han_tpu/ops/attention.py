@@ -48,10 +48,12 @@ Impl = Literal["auto", "dense", "ell", "ell_fused", "csr", "flash"]
 # the real v5e at N=65536 / E≈2M across tile densities
 # (results/CROSSOVER_r4.md): the flash kernel sweeps
 # ``graph.elems_per_edge()`` = occupancy()·n_pad²/E tile elements per real
-# edge; the csr segment-op backend pays a (large, shape-independent)
-# per-edge cost instead. Flash stays ahead until the swept area per edge
-# exceeds ~2000 elements — i.e. on everything except near-structureless
-# scatter — and below that csr wins on swept area alone.
+# edge (measured linear: 29 ms at occ 0.038 → 749 ms at occ 1.0); the csr
+# segment-op backend pays a flat edge-count-bound cost (707–753 ms at the
+# same E) instead. Measured: flash ahead 1.04× at 2076 elems/edge, tie at
+# 2148, csr ahead from 2207 — 2000 sits inside the tie band, erring ≤4%
+# toward csr on structureless scatter; everything with any community
+# locality dispatches to flash (24.6× ahead at the 3.8%-occupancy graph).
 FLASH_MAX_ELEMS_PER_EDGE = 2000.0
 
 

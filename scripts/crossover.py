@@ -94,7 +94,11 @@ def main(argv=None):
         c = m.tocsr()
         deg = np.diff(c.indptr).astype(np.int32)
         f = int(deg.max())
-        gather_gb = n * f * k * d * 4 / 1e9
+        # XLA lays the backward's (n, f, k, d) gather-transpose out with the
+        # trailing dims padded to the (8, 128) tile — at d=8 that's a 16x
+        # expansion (measured OOM: 13.75 GB for 65536x55x8x8) — so the cap
+        # must use PADDED bytes, not logical bytes
+        gather_gb = n * f * max(k, 8) * max(d, 128) * 4 / 1e9
         if gather_gb > args.ell_cap_gb:
             return None, f, gather_gb
         nbr = np.full((n, f), n, np.int32)
@@ -125,8 +129,16 @@ def main(argv=None):
         tr = time.perf_counter() - tr
         return max((tr - t1) / (reps - 1), 1e-9)
 
+    # NOTE the sweep axis: with (512, 512) tiles on a 65k grid, even a few
+    # percent of uniform rewiring saturates tile occupancy (200k uniform
+    # edges over 16k tiles ≈ 12/tile) — the informative intermediate points
+    # live at SUB-percent scatter fractions
     cases = [
         ("community(p=4)", lambda: community_powerlaw(n, args.edges)),
+        ("mixed(0.2% scatter)", lambda: mixed(n, args.edges, 0.002)),
+        ("mixed(0.5% scatter)", lambda: mixed(n, args.edges, 0.005)),
+        ("mixed(1% scatter)", lambda: mixed(n, args.edges, 0.01)),
+        ("mixed(2% scatter)", lambda: mixed(n, args.edges, 0.02)),
         ("mixed(10% scatter)", lambda: mixed(n, args.edges, 0.10)),
         ("mixed(30% scatter)", lambda: mixed(n, args.edges, 0.30)),
         ("mixed(60% scatter)", lambda: mixed(n, args.edges, 0.60)),
@@ -152,7 +164,7 @@ def main(argv=None):
         row["ell_fanout"] = fan
         if eg is None:
             row["ell_ms"] = None
-            row["ell_skipped"] = f"gather temp {ggb:.1f} GB > cap"
+            row["ell_skipped"] = f"padded gather temp {ggb:.1f} GB > cap"
         else:
             row["ell_ms"] = round(timed(eg, "ell", args.reps) * 1e3, 2)
         print(f"#   ell {row['ell_ms']} ms (fanout {fan})",
