@@ -21,7 +21,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=8")
@@ -82,6 +85,22 @@ def main(argv=None):
                 attn_drop=0.6, ffd_drop=0.6)
     tx = optax.adam(5e-3)
 
+    # init params on TINY single-device graphs: param shapes depend only on
+    # feature/model dims, not graph size, and executing model.init on the
+    # 8-virtual-device mesh starves a device thread past XLA's 40 s CPU
+    # collective rendezvous on this 2-CPU host (only lower+compile below —
+    # the mesh never executes)
+    import scipy.sparse as _sp
+
+    from han_tpu.graph.bcsr import bcsr_from_scipy
+
+    tiny_adj = _sp.eye(64, format="csr")
+    tiny_gs = [bcsr_from_scipy(tiny_adj) for _ in ds.metapath_adjs]
+    tiny_xs = [jnp.zeros((64, ds.features.shape[1]), jnp.float32)
+               for _ in ds.metapath_adjs]
+    params = model.init(jax.random.PRNGKey(0), tiny_gs, tiny_xs)
+    opt_state = tx.init(params)
+
     rows = []
     for s in [int(v) for v in args.shards.split(",")]:
         mesh = make_mesh(graph=s, heads=1)
@@ -94,8 +113,6 @@ def main(argv=None):
             graphs = [build(a) for a in ds.metapath_adjs]
             xs = [x for _ in graphs]
             with jax.set_mesh(mesh):
-                params = model.init(jax.random.PRNGKey(0), graphs, xs)
-                opt_state = tx.init(params)
 
                 def train_step(params, opt_state, rng, graphs, xs):
                     def loss_fn(p):
