@@ -71,9 +71,22 @@ class _MetapathTower(nn.Module):
     ffd_drop: float
     impl: Impl
     dtype: jnp.dtype
+    # static train/eval mode for the vmapped (EP) construction: flax's
+    # lifted nn.vmap silently drops call kwargs ("kwargs are not supported
+    # in vmap") and cannot broadcast a bare python bool arg either — passing
+    # deterministic by keyword left the EP towers permanently in eval mode,
+    # training WITHOUT dropout (caught on the full r4 DBLP EP run:
+    # best_epoch=12, test 89.7 vs 92.7 — overfit). The call arg still wins
+    # when given (sequential / HANShared paths).
+    deterministic: bool | None = None
 
     @nn.compact
-    def __call__(self, graph, x, *, deterministic: bool = True, return_coefs: bool = False):
+    def __call__(self, graph, x, *, deterministic: bool | None = None,
+                 return_coefs: bool = False):
+        deterministic = (self.deterministic if deterministic is None
+                         else deterministic)
+        if deterministic is None:
+            deterministic = True
         out = GATConv(self.hid_units[0], self.n_heads[0], activation=self.activation,
                       attn_drop=self.attn_drop, ffd_drop=self.ffd_drop,
                       residual=False, impl=self.impl, dtype=self.dtype)(
@@ -134,8 +147,12 @@ class HAN(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 spmd_axis_name="mp" if has_mp else None,
             )(self.hid_units, self.n_heads, self.activation, self.residual,
-              self.attn_drop, self.ffd_drop, self.impl, self.dtype, name="towers")
-            embeds = vtower(graphs, xs, deterministic=deterministic)  # (P,N,KH)
+              self.attn_drop, self.ffd_drop, self.impl, self.dtype,
+              # deterministic via STATIC attribute: nn.vmap drops call
+              # kwargs, which silently disabled tower dropout (see
+              # _MetapathTower.deterministic)
+              deterministic, name="towers")
+            embeds = vtower(graphs, xs)  # (P,N,KH)
             if has_mp:
                 # pin the tower axis to the mp mesh axis so GSPMD executes
                 # each tower on its own shard (EP), gathering only the

@@ -47,6 +47,12 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 0  # additionally every N epochs (0 = only on best)
     log_file: str = ""  # jsonl metrics log ("" = stdout only)
+    # XLA scoped-VMEM budget (KiB) passed as a per-compile option; 0 = XLA
+    # default (16 MiB). vmap_towers+flash needs more: pallas batching
+    # serializes the towers into a while loop whose loop-carried kernel
+    # outputs live on the scoped-VMEM stack (measured 26.5 MiB at DBLP
+    # scale) — the trainer auto-raises this to 65536 for that path
+    scoped_vmem_kib: int = 0
 
 
 @dataclasses.dataclass

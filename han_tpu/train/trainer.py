@@ -261,8 +261,20 @@ class Trainer:
             acc = masked_accuracy(logits, labels, mask)
             return loss, acc, logits, embed
 
-        jit_train = jax.jit(train_step)
-        jit_eval = jax.jit(eval_step)
+        # EP-flash (vmapped towers): pallas vmap-batching serializes the P
+        # towers into a while loop whose loop-carried kernel outputs XLA
+        # keeps on the scoped-VMEM stack — the 16 MiB default overflows at
+        # DBLP scale (measured 26.5 MiB demand). Raise it per-compile;
+        # harmless elsewhere (it is a budget, not an allocation).
+        vmem_kib = self.cfg.train.scoped_vmem_kib
+        if (not vmem_kib and self.cfg.model.vmap_towers
+                and self.cfg.model.impl == "flash"
+                and jax.default_backend() == "tpu"):
+            vmem_kib = 65536
+        opts = ({"xla_tpu_scoped_vmem_limit_kib": vmem_kib}
+                if vmem_kib else None)
+        jit_train = jax.jit(train_step, compiler_options=opts)
+        jit_eval = jax.jit(eval_step, compiler_options=opts)
 
         def run_train(params, opt_state, rng):
             with self._mesh_ctx():

@@ -184,3 +184,23 @@ def test_trainer_ep_trajectory_matches_sequential(ds, tmp_path):
     # test_vmap_towers_matches_sequential with shared params
     assert len(seq) == len(ep) == 3
     assert all(np.isfinite(v) for v in seq + ep)
+
+
+def test_vmap_towers_dropout_fires(ds):
+    """flax's lifted nn.vmap silently DROPS kwargs — passing
+    ``deterministic`` by keyword left the vmapped towers permanently in
+    eval mode (no attn/ffd dropout; caught as an overfitting full DBLP EP
+    run in r4). deterministic is now positional; training mode must
+    change the output, and eval mode must equal the sequential eval."""
+    graphs = [metapath_to_csr(a) for a in ds.metapath_adjs]
+    stacked = stack_graphs(graphs)
+    x = jnp.asarray(ds.features)
+    xs_stacked = jnp.stack([x] * len(graphs))
+    m_ep = HAN(n_classes=3, hid_units=(8,), n_heads=(2, 1),
+               vmap_towers=True, attn_drop=0.5, ffd_drop=0.5)
+    params = m_ep.init(jax.random.PRNGKey(0), stacked, xs_stacked)
+    eval_out = m_ep.apply(params, stacked, xs_stacked, deterministic=True)
+    train_out = m_ep.apply(params, stacked, xs_stacked, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(7)})
+    dev = float(jnp.abs(train_out[0] - eval_out[0]).max())
+    assert dev > 1e-3, f"tower dropout did not fire under nn.vmap (dev={dev})"
