@@ -110,10 +110,17 @@ def ell_attention(
     dropout_rng: jax.Array | None = None,
 ):
     n, k, d = fts.shape
+    f = graph.nbr.shape[1]
     nbr = graph.nbr  # (N, F) with sentinel n
     valid = graph.nbr_mask  # (N, F)
-    # pad a zero row at sentinel index n
-    fts_pad = jnp.concatenate([fts, jnp.zeros((1, k, d), fts.dtype)], axis=0)
+    # pad a zero row at sentinel index n. The feature table is gathered in
+    # FLAT (N, K*D) layout: a rank-4 (N, F, K, D) gather pads its trailing
+    # dim to the 128-lane tile — 16x memory traffic at D=8 — and its
+    # BACKWARD pays the same expansion on the scatter-add. Flat K*D lanes
+    # measured 2.85x faster fwd+bwd at the sampled-block shapes
+    # (results/SCALE_r5.md).
+    fts_pad = jnp.concatenate(
+        [fts.reshape(n, k * d), jnp.zeros((1, k * d), fts.dtype)], axis=0)
     ls_pad = jnp.concatenate([logit_src, jnp.zeros((1, k), logit_src.dtype)], axis=0)
 
     g_ls = ls_pad[nbr]  # (N, F, K)
@@ -128,9 +135,10 @@ def ell_attention(
         keep = 1.0 - coef_dropout
         mask = jax.random.bernoulli(dropout_rng, keep, coefs.shape)
         coefs = jnp.where(mask, coefs / keep, 0.0)
-    g_fts = fts_pad[nbr]  # (N, F, K, D)
+    g_fts = fts_pad[nbr]  # (N, F, K*D) — 2x lane pad, not 16x
     out = jnp.einsum(
-        "nfk,nfkd->nkd", coefs, g_fts, preferred_element_type=jnp.float32
+        "nfk,nfkd->nkd", coefs, g_fts.reshape(n, f, k, d),
+        preferred_element_type=jnp.float32
     ).astype(fts.dtype)
     return out
 
@@ -195,14 +203,22 @@ def csr_attention(
     slope: float = 0.2,
     coef_dropout: float = 0.0,
     dropout_rng: jax.Array | None = None,
+    return_coefs: bool = False,
 ):
     le = sddmm_edge_logits(graph, logit_dst, logit_src, slope=slope)
     coefs = segment_softmax(graph, le)
+    # pre-dropout coefs, matching the dense oracle's return (the reference
+    # returns the softmax output, gat.py:148-173); (E_pad, K) aligned with
+    # graph.row_idx/col_idx, padding edges exactly 0
+    raw_coefs = coefs
     if coef_dropout > 0.0:
         keep = 1.0 - coef_dropout
         mask = jax.random.bernoulli(dropout_rng, keep, coefs.shape)
         coefs = jnp.where(mask, coefs / keep, 0.0)
-    return spmm_aggregate(graph, coefs, fts)
+    out = spmm_aggregate(graph, coefs, fts)
+    if return_coefs:
+        return out, raw_coefs
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -285,8 +301,18 @@ def attention_aggregate(
             coef_dropout=coef_dropout, dropout_rng=dropout_rng,
             return_coefs=return_coefs,
         )
+    if impl == "csr":
+        return csr_attention(
+            graph, fts, logit_dst, logit_src, slope=slope,
+            coef_dropout=coef_dropout, dropout_rng=dropout_rng,
+            return_coefs=return_coefs,
+        )
     if return_coefs:
-        raise NotImplementedError("return_coefs only supported by the dense impl")
+        # edge-domain coef output lives on the csr backend (convert BCSR
+        # via graph.as_csr() / EllGraph via its edge view); the fused
+        # kernels never materialize per-edge coefficients
+        raise NotImplementedError(
+            "return_coefs is supported by the dense and csr impls only")
     if impl == "ell":
         return ell_attention(
             graph, fts, logit_dst, logit_src, slope=slope,
@@ -296,11 +322,6 @@ def attention_aggregate(
         from han_tpu.ops.pallas.ell_fused import ell_fused_attention
 
         return ell_fused_attention(
-            graph, fts, logit_dst, logit_src, slope=slope,
-            coef_dropout=coef_dropout, dropout_rng=dropout_rng,
-        )
-    if impl == "csr":
-        return csr_attention(
             graph, fts, logit_dst, logit_src, slope=slope,
             coef_dropout=coef_dropout, dropout_rng=dropout_rng,
         )

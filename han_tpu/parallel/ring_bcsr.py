@@ -225,8 +225,16 @@ def _ring_fwd_loop(tiles2d, fwd_count, fwd_col, fwd_tile, cs_of_step,
     # (results/RING_MEMORY_r3.txt; VERDICT r3 missing #4). Rotating every
     # step (uniformly, including the last) keeps the loop body static; the
     # blocks arrive home after the S-th rotation.
+    #
+    # Overlap (VERDICT r4 #2): the rotation of the NEXT step's blocks is
+    # issued BEFORE this step's kernel call and consumed only by the next
+    # iteration, so the collective-permute has no data dependence on the
+    # kernel — XLA's async pass splits it into -start/-done and the
+    # latency-hiding scheduler hoists -done past the kernel (verified in
+    # AOT-compiled v5e HLO: scripts/overlap_check.py → results/OVERLAP_r5).
     def step(t, carry):
         out, lse, vb, lb = carry
+        vb_next, lb_next = _rotate((vb, lb), n_shards)  # flies under kernel
         idx = lambda a: jax.lax.dynamic_index_in_dim(a, t, keepdims=False)
         meta_t = meta_base.at[3].set(idx(cs_of_step) * nb_c_loc)
         o_t, lse_t = _flash_fwd(
@@ -237,8 +245,7 @@ def _ring_fwd_loop(tiles2d, fwd_count, fwd_col, fwd_tile, cs_of_step,
         w_old = jnp.exp(lse - new_lse).T[:, :, None]      # (n_loc, k, 1)
         w_new = jnp.exp(lse_t[:k] - new_lse).T[:, :, None]
         out = out * w_old + o_t * w_new
-        vb, lb = _rotate((vb, lb), n_shards)
-        return out, new_lse, vb, lb
+        return out, new_lse, vb_next, lb_next
 
     out0 = jnp.zeros((n_loc, k, d), jnp.float32)
     lse0 = jnp.full((k, n_loc), _NEG, jnp.float32)
@@ -278,9 +285,20 @@ def _ring_core_bwd(slope, bm, bn, interpret, dropout_p, n_shards, nb_c_loc,
 
     # same fori_loop structure as the forward (one live buffer set, one
     # kernel compile); dv/dls rotate WITH the data blocks and arrive home
-    # after the S-th uniform rotation
+    # after the S-th uniform rotation.
+    #
+    # Overlap (VERDICT r4 #2): ALL rotations are issued before the kernel.
+    # The data blocks (vb, lb) pre-rotate exactly as in the forward; the
+    # gradient accumulators use DELAYED accumulation — the kernel's step-t
+    # contribution (pv, pl) is merged and rotated at the START of step t+1,
+    # so the permute never depends on the in-flight kernel. The contributions
+    # are then one rotation short of home; one final (non-overlapped)
+    # rotation after the loop lands them. Costs (S+1)/S of the original
+    # gradient-rotation bytes; buys hiding the other S under the kernels.
     def step(t, carry):
-        dld, dv, dls, vb, lb = carry
+        dld, dv, dls, pv, pl, vb, lb = carry
+        vb_n, lb_n, dv_n, dls_n = _rotate(
+            (vb, lb, dv + pv, dls + pl), n_shards)  # flies under kernel
         idx = lambda a: jax.lax.dynamic_index_in_dim(a, t, keepdims=False)
         meta_t = meta_base.at[3].set(idx(cs_of_step) * nb_c_loc)
         dld_t, dls_t, dv_t = _flash_bwd(
@@ -289,17 +307,16 @@ def _ring_core_bwd(slope, bm, bn, interpret, dropout_p, n_shards, nb_c_loc,
             _ls_t(lb, kp), vb, g32, lse_kp, delta_kp, slope=slope, bm=bm,
             bn=bn, interpret=interpret, dropout_p=dropout_p)
         dld = dld + dld_t
-        dv = dv + dv_t
-        dls = dls + dls_t[:k].T
-        vb, lb, dv, dls = _rotate((vb, lb, dv, dls), n_shards)
-        return dld, dv, dls, vb, lb
+        return dld, dv_n, dls_n, dv_t, dls_t[:k].T, vb_n, lb_n
 
     dld0 = jnp.zeros((kp, n_loc), jnp.float32)
     dv0 = jnp.zeros((n_loc, k, d), jnp.float32)
     dls0 = jnp.zeros((n_loc, k), jnp.float32)
-    dld, dv, dls, _, _ = jax.lax.fori_loop(
+    dld, dv, dls, pv, pl, _, _ = jax.lax.fori_loop(
         0, n_shards, step,
-        (dld0, dv0, dls0, v_blk.astype(jnp.float32), ls_blk))
+        (dld0, dv0, dls0, dv0, dls0,
+         v_blk.astype(jnp.float32), ls_blk))
+    dv, dls = _rotate((dv + pv, dls + pl), n_shards)  # last hop home
 
     z = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return (z(tiles2d), z(fwd_count), z(fwd_col), z(fwd_tile), z(bwd_count),

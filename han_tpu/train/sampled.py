@@ -46,6 +46,22 @@ from han_tpu.train.trainer import EarlyStopState, MetricLogger, build_model
 _EPOCH_STRIDE = 1_000_000
 
 
+def _widen_ell(g: EllGraph) -> EllGraph:
+    """int16-streamed blocks → the int32 indices the kernels consume."""
+    if g.nbr.dtype == jnp.int32:
+        return g
+    return EllGraph(nbr=g.nbr.astype(jnp.int32), deg=g.deg.astype(jnp.int32),
+                    n_nodes=g.n_nodes, n_edges=g.n_edges)
+
+
+def _resident_gather(tab, nd):
+    """Rows ``nd`` of the HBM-resident table; pad slots (nd < 0) → zero.
+    Works on (block,) ids and on DP-stacked (S, block) ids alike."""
+    real = nd >= 0
+    out = tab[jnp.maximum(nd, 0)]
+    return jnp.where(real[..., None], out, 0)
+
+
 class SampledTrainer:
     """HAN/GAT training over seed-node batches of a huge heterogeneous graph."""
 
@@ -54,7 +70,7 @@ class SampledTrainer:
                  hops: int | None = None, block_size: int | None = None,
                  eval_batches: int | None = None,
                  logger: MetricLogger | None = None,
-                 guard=None):
+                 guard=None, resident_features: bool | None = None):
         self.ds = ds
         self.cfg = cfg
         # preemption flag polled at batch boundaries (train/preempt.py);
@@ -91,6 +107,28 @@ class SampledTrainer:
         # host-side running count of real sampled edges across _make_batch
         # calls (throughput accounting without device round trips)
         self.sampled_edge_count = 0
+        # Resident-feature mode (default when the tables fit comfortably in
+        # HBM): upload features/labels to the device ONCE and stream only
+        # compact per-batch indices; the jitted step gathers the block rows
+        # in HBM. Measured on the axon tunnel (results/SCALE_r5.md): the
+        # per-batch H2D of gathered features dominated the whole step
+        # (~6 MB/batch at ~35 MB/s ≈ 170-300 ms), 10x the device compute —
+        # streaming ids (~0.7 MB) makes the pipeline device-bound again.
+        if resident_features is None:
+            resident_features = (self.features.nbytes
+                                 + self.labels.nbytes) <= (2 << 30)
+        self.resident = bool(resident_features)
+        if self.resident:
+            mesh = getattr(self, "mesh", None)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sh = NamedSharding(mesh, PartitionSpec())  # replicated
+                self._fts_dev = jax.device_put(self.features, sh)
+                self._lbl_dev = jax.device_put(self.labels, sh)
+            else:
+                self._fts_dev = jax.device_put(self.features)
+                self._lbl_dev = jax.device_put(self.labels)
         self._build_steps()
 
     # -- host-side block assembly -----------------------------------------
@@ -105,29 +143,50 @@ class SampledTrainer:
         """
         fanout = fanout if fanout is not None else self.fanout
         block_size = block_size if block_size is not None else self.block_size
+        # block-local neighbor ids fit int16 at typical block sizes; they are
+        # widened to int32 on device inside the jitted step. At tunnel-limited
+        # H2D bandwidth the per-batch index stream IS the byte budget.
+        idx_dt = np.int16 if block_size + 1 < 2 ** 15 else np.int32
         graphs, xs = [], []
-        lbl = np.zeros((block_size, self.labels.shape[1]), np.float32)
+        lbl = (None if self.resident
+               else np.zeros((block_size, self.labels.shape[1]), np.float32))
         mask = np.zeros(block_size, np.float32)
         for p, csr in enumerate(self.csrs):
             sb = sample_subgraph(
                 csr, seeds, fanout=fanout, hops=self.hops,
                 block_size=block_size, seed=sample_seed * 7919 + p)
             self.sampled_edge_count += int((sb.nbr < block_size).sum())
-            ell = sb.ell()
+            deg = (sb.nbr < block_size).sum(axis=1).astype(idx_dt)
             # pin static metadata to capacity so the jitted step's treedef
             # (and hence the compiled program) is identical for every batch
-            graphs.append(EllGraph(nbr=ell.nbr, deg=ell.deg,
+            graphs.append(EllGraph(nbr=jnp.asarray(sb.nbr.astype(idx_dt)),
+                                   deg=jnp.asarray(deg),
                                    n_nodes=block_size,
                                    n_edges=block_size * fanout))
-            xs.append(jnp.asarray(sb.gather_features(self.features)))
+            if self.resident:
+                # stream global node ids only; the step gathers rows from
+                # the HBM-resident tables (pad slots are -1)
+                xs.append(jnp.asarray(sb.nodes.astype(np.int32)))
+            else:
+                xs.append(jnp.asarray(sb.gather_features(self.features)))
             if p == 0:
-                real = sb.nodes >= 0
-                lbl[real] = self.labels[sb.nodes[real]]
                 mask[: seeds.shape[0]] = valid.astype(np.float32)
-        return graphs, xs, jnp.asarray(lbl), jnp.asarray(mask)
+                if not self.resident:
+                    real = sb.nodes >= 0
+                    lbl[real] = self.labels[sb.nodes[real]]
+        if not self.resident:
+            lbl = jnp.asarray(lbl)
+        return graphs, xs, lbl, jnp.asarray(mask)
 
     # -- jitted steps ------------------------------------------------------
     def _apply(self, params, graphs, xs, *, deterministic, rng=None):
+        # direct (out-of-jit) callers may hand over raw resident-mode blocks
+        # (compact index dtypes, id-valued xs) — materialize them here; the
+        # jitted steps materialize in prep() with the tables as jit args
+        graphs = [_widen_ell(g) for g in graphs]
+        if (self.resident and xs
+                and jnp.issubdtype(jnp.asarray(xs[0]).dtype, jnp.integer)):
+            xs = [_resident_gather(self._fts_dev, jnp.asarray(nd)) for nd in xs]
         args = (graphs, xs) if self._is_han else (graphs[0], xs[0])
         kwargs: dict[str, Any] = {"deterministic": deterministic}
         if rng is not None:
@@ -138,7 +197,19 @@ class SampledTrainer:
     def _build_steps(self):
         l2c = self.cfg.train.l2_coef
 
-        def train_step(params, opt_state, rng, graphs, xs, labels, mask):
+        def prep(graphs, xs, labels, fts, lab_tab):
+            # device-side batch materialization: widen compact index dtypes;
+            # in resident mode gather block features/labels from the
+            # HBM-resident tables (xs carries global node ids, pad = -1)
+            graphs = [_widen_ell(g) for g in graphs]
+            if fts is not None:
+                labels = _resident_gather(lab_tab, xs[0])
+                xs = [_resident_gather(fts, nd) for nd in xs]
+            return graphs, xs, labels
+
+        def train_step(params, opt_state, rng, graphs, xs, labels, mask,
+                       fts=None, lab_tab=None):
+            graphs, xs, labels = prep(graphs, xs, labels, fts, lab_tab)
             rng, sub = jax.random.split(rng)
 
             def loss_fn(p):
@@ -151,7 +222,8 @@ class SampledTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, rng, loss, masked_accuracy(logits, labels, mask)
 
-        def eval_step(params, graphs, xs, labels, mask):
+        def eval_step(params, graphs, xs, labels, mask, fts=None, lab_tab=None):
+            graphs, xs, labels = prep(graphs, xs, labels, fts, lab_tab)
             logits, embed = self._apply(params, graphs, xs, deterministic=True)
             logp = jax.nn.log_softmax(logits, axis=-1)
             loss_i = -jnp.sum(labels * logp, axis=-1)
@@ -159,8 +231,16 @@ class SampledTrainer:
             return (jnp.sum(loss_i * mask), jnp.sum(correct * mask),
                     jnp.sum(mask), embed)
 
-        self._train_step = jax.jit(train_step)
-        self._eval_step = jax.jit(eval_step)
+        jt, je = jax.jit(train_step), jax.jit(eval_step)
+        if self.resident:
+            # the resident tables ride as jit ARGUMENTS (closure-captured
+            # device arrays are re-uploaded per call on axon)
+            self._train_step = lambda p, o, r, g, x, l, m: jt(
+                p, o, r, g, x, l, m, self._fts_dev, self._lbl_dev)
+            self._eval_step = lambda p, g, x, l, m: je(
+                p, g, x, l, m, self._fts_dev, self._lbl_dev)
+        else:
+            self._train_step, self._eval_step = jt, je
 
     def _prefetched_indexed(self, indexed_iter, sample_seed_fn):
         """One-ahead pipelined batch assembly: the NEXT block is sampled on a
@@ -199,6 +279,20 @@ class SampledTrainer:
             yield chunk.astype(np.int32), valid
 
     def _init_params_from(self, rng, graphs, xs):
+        # init must see the shapes/dtypes apply sees in-jit: int32 indices
+        # and materialized features (host-side here — no extra compiles)
+        graphs = [EllGraph(
+            nbr=jnp.asarray(np.asarray(g.nbr, dtype=np.int32)),
+            deg=jnp.asarray(np.asarray(g.deg, dtype=np.int32)),
+            n_nodes=g.n_nodes, n_edges=g.n_edges) for g in graphs]
+        if self.resident:
+            xs_m = []
+            for nd in xs:
+                nd = np.asarray(nd)
+                x = self.features[np.maximum(nd, 0)].copy()
+                x[nd < 0] = 0
+                xs_m.append(jnp.asarray(x))
+            xs = xs_m
         args = (graphs, xs) if self._is_han else (graphs[0], xs[0])
         return self.model.init(rng, *args)
 
@@ -544,7 +638,18 @@ class DPSampledTrainer(SampledTrainer):
             n = jnp.maximum(jnp.sum(mask), 1.0)
             return jnp.sum(loss_i * mask) / n, jnp.sum(correct * mask) / n
 
-        def train_step(params, opt_state, rng, graphs, xs, labels, mask):
+        def prep(graphs, xs, labels, fts, lab_tab):
+            # (S, block) leaves: widen index dtypes; resident mode gathers
+            # the stacked blocks from the replicated HBM tables
+            graphs = [_widen_ell(g) for g in graphs]
+            if fts is not None:
+                labels = _resident_gather(lab_tab, xs[0])   # (S, block, C)
+                xs = [_resident_gather(fts, nd) for nd in xs]
+            return graphs, xs, labels
+
+        def train_step(params, opt_state, rng, graphs, xs, labels, mask,
+                       fts=None, lab_tab=None):
+            graphs, xs, labels = prep(graphs, xs, labels, fts, lab_tab)
             rng, sub = jax.random.split(rng)
             subs = jax.random.split(sub, s)  # per-shard dropout streams
 
@@ -559,7 +664,8 @@ class DPSampledTrainer(SampledTrainer):
             params = optax.apply_updates(params, updates)
             return params, opt_state, rng, loss, acc
 
-        def eval_step(params, graphs, xs, labels, mask):
+        def eval_step(params, graphs, xs, labels, mask, fts=None, lab_tab=None):
+            graphs, xs, labels = prep(graphs, xs, labels, fts, lab_tab)
             logits, embed = jax.vmap(
                 lambda g, x: fwd(params, g, x, None, True))(graphs, xs)
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -569,5 +675,11 @@ class DPSampledTrainer(SampledTrainer):
             return (jnp.sum(loss_i * mask), jnp.sum(correct * mask),
                     jnp.sum(mask), embed)
 
-        self._train_step = jax.jit(train_step)
-        self._eval_step = jax.jit(eval_step)
+        jt, je = jax.jit(train_step), jax.jit(eval_step)
+        if self.resident:
+            self._train_step = lambda p, o, r, g, x, l, m: jt(
+                p, o, r, g, x, l, m, self._fts_dev, self._lbl_dev)
+            self._eval_step = lambda p, g, x, l, m: je(
+                p, g, x, l, m, self._fts_dev, self._lbl_dev)
+        else:
+            self._train_step, self._eval_step = jt, je

@@ -55,6 +55,12 @@ class CollectiveStats:
     counts: dict        # op kind -> number of instructions
     logical_bytes: dict  # op kind -> summed operand/result bytes
     wire_bytes_per_device: float  # ring-cost bytes each device sends
+    # split by position: collectives inside while-loop BODIES (the ring
+    # rotations — overlappable with the loop's kernel, verified in
+    # scheduled HLO by permute_overlap_report) vs everything else
+    # (gradient all-reduces, the ring's final hop home — exposed)
+    wire_bytes_in_loop: float = 0.0
+    wire_bytes_outside: float = 0.0
 
     def ici_seconds(self, bw: float = ICI_BW) -> float:
         return self.wire_bytes_per_device / bw
@@ -88,7 +94,7 @@ def collective_stats(compiled, n_shards: int, *,
     body_names = _while_body_names(text)
     counts: dict[str, int] = {}
     logical: dict[str, float] = {}
-    wire = 0.0
+    wire = wire_in_loop = wire_outside = 0.0
     s = max(n_shards, 2)
     ring = (s - 1) / s
     current_comp = ""
@@ -119,19 +125,27 @@ def collective_stats(compiled, n_shards: int, *,
             # would double-count the moved bytes
             shapes = shapes[-1:]
         nbytes = float(sum(shapes))
-        mult = while_trip_count if current_comp in body_names else 1
+        in_loop = current_comp in body_names
+        mult = while_trip_count if in_loop else 1
         counts[kind] = counts.get(kind, 0) + mult
         logical[kind] = logical.get(kind, 0.0) + nbytes * mult
         if kind == "all-gather":
-            wire += nbytes * ring * mult
+            add = nbytes * ring * mult
         elif kind == "all-reduce":
-            wire += 2.0 * nbytes * ring * mult
+            add = 2.0 * nbytes * ring * mult
         elif kind == "reduce-scatter":
-            wire += nbytes * (s - 1) * mult  # result is the 1/S piece
+            add = nbytes * (s - 1) * mult  # result is the 1/S piece
         elif kind == "collective-permute":
-            wire += nbytes * mult
+            add = nbytes * mult
         elif kind == "all-to-all":
-            wire += nbytes * ring * mult
+            add = nbytes * ring * mult
+        else:
+            add = 0.0
+        wire += add
+        if in_loop:
+            wire_in_loop += add
+        else:
+            wire_outside += add
     if warn_if_none and n_shards > 1 and not counts:
         import warnings
 
@@ -141,7 +155,67 @@ def collective_stats(compiled, n_shards: int, *,
             "the HLO text format drifted; efficiency projections from this "
             "result are unreliable", stacklevel=2)
     return CollectiveStats(counts=counts, logical_bytes=logical,
-                           wire_bytes_per_device=wire)
+                           wire_bytes_per_device=wire,
+                           wire_bytes_in_loop=wire_in_loop,
+                           wire_bytes_outside=wire_outside)
+
+
+def permute_overlap_report(hlo_text: str) -> dict:
+    """Per-computation async-overlap audit of collective permutes
+    (VERDICT r4 #2): in a SCHEDULED TPU HLO module (instruction order =
+    execution order), count ``collective-permute-start``/``-done`` pairs
+    and how many straddle a Mosaic kernel custom-call — i.e. the rotation
+    is in flight while the kernel runs.
+
+    Returns {computation: {"pairs": n, "straddling": n, "kernels": n}}
+    for computations containing at least one permute; plus "_total".
+    """
+    per_comp: dict[str, dict] = {}
+    current = ""
+    seq: dict[str, list] = {}
+    for raw in hlo_text.splitlines():
+        line = raw.strip()
+        hm = re.match(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*\(.*\{\s*$", raw)
+        if hm and not raw.startswith(" "):
+            current = hm.group(1)
+            continue
+        nm = re.match(r"%?([\w.\-]+)\s*=", line)
+        name = nm.group(1) if nm else ""
+        if "collective-permute-start(" in line:
+            seq.setdefault(current, []).append(("start", name))
+        elif "collective-permute-done(" in line:
+            # operand name identifies the matching start
+            om = re.search(r"collective-permute-done\(\s*%?([\w.\-]+)", line)
+            seq.setdefault(current, []).append(
+                ("done", om.group(1) if om else ""))
+        elif re.search(r"custom-call\(.*custom_call_target=\"tpu_custom_call\"",
+                       line) or "tpu_custom_call" in line and "custom-call" in line:
+            seq.setdefault(current, []).append(("kernel", name))
+    total = {"pairs": 0, "straddling": 0, "kernels": 0}
+    for comp, events in seq.items():
+        pairs = strad = 0
+        kernels = sum(1 for k, _ in events if k == "kernel")
+        starts = {}
+        kernel_seen_at: list[int] = [i for i, (k, _) in enumerate(events)
+                                     if k == "kernel"]
+        for i, (kind, name) in enumerate(events):
+            if kind == "start":
+                starts[name] = i
+            elif kind == "done":
+                j = starts.pop(name, None)
+                if j is None:
+                    continue
+                pairs += 1
+                if any(j < ki < i for ki in kernel_seen_at):
+                    strad += 1
+        if pairs:
+            per_comp[comp] = {"pairs": pairs, "straddling": strad,
+                              "kernels": kernels}
+            total["pairs"] += pairs
+            total["straddling"] += strad
+            total["kernels"] += kernels
+    per_comp["_total"] = total
+    return per_comp
 
 
 def projected_efficiency(t_compute_1chip: float, wire_bytes: float,
@@ -154,3 +228,17 @@ def projected_efficiency(t_compute_1chip: float, wire_bytes: float,
     t_comp = t_compute_1chip / n_shards
     t_comm = (wire_bytes / bw) * (1.0 - overlap)
     return t_comp / (t_comp + t_comm)
+
+
+def projected_efficiency_overlapped(
+        t_compute_1chip: float, in_loop_bytes: float, outside_bytes: float,
+        n_shards: int, *, bw: float = ICI_BW) -> float:
+    """Overlap-roofline efficiency for the VERIFIED ring schedule
+    (scripts/overlap_check.py → results/OVERLAP_r5.json): in-loop rotation
+    bytes ride the wire while the loop's kernels compute — hidden up to the
+    shard's compute time, only the excess is exposed; outside-loop
+    collectives (gradient all-reduce, the ring's final hop home) are fully
+    exposed."""
+    t_comp = t_compute_1chip / n_shards
+    t_exposed = outside_bytes / bw + max(0.0, in_loop_bytes / bw - t_comp)
+    return t_comp / (t_comp + t_exposed)

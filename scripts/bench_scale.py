@@ -102,8 +102,7 @@ def main(argv=None):
         lambda bi: bi)
     _, first = next(batches)
     graphs, xs, lbl, mask = first
-    p_args = (graphs, xs) if trainer._is_han else (graphs[0], xs[0])
-    params = trainer.model.init(jax.random.PRNGKey(0), *p_args)
+    params = trainer._init_params_from(jax.random.PRNGKey(0), graphs, xs)
     opt_state = trainer.tx.init(params)
     step_rng = jax.random.PRNGKey(1)
     # warmup / compile on the first batch

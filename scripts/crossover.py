@@ -98,7 +98,8 @@ def main(argv=None):
         # trailing dims padded to the (8, 128) tile — at d=8 that's a 16x
         # expansion (measured OOM: 13.75 GB for 65536x55x8x8) — so the cap
         # must use PADDED bytes, not logical bytes
-        gather_gb = n * f * max(k, 8) * max(d, 128) * 4 / 1e9
+        gather_gb = (n * f * ((k + 7) // 8 * 8)
+                     * ((d + 127) // 128 * 128) * 4 / 1e9)
         if gather_gb > args.ell_cap_gb:
             return None, f, gather_gb
         nbr = np.full((n, f), n, np.int32)

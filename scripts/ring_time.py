@@ -61,9 +61,18 @@ def main(argv=None):
 
     # timing-only: make the ring rotation a no-op (shape-invariant, so the
     # kernel work and fori_loop structure are untouched; ICI time is modeled
-    # separately from counted HLO — module docstring)
+    # separately from counted HLO — module docstring). Restored on exit so
+    # importing + calling main() never leaves ring_bcsr patched.
+    _orig_rotate = rb._rotate
     rb._rotate = lambda xs, n_shards: xs
+    try:
+        return _run(args, jax, jnp, planted_hetero, flash_gat, rb,
+                    partition_bcsr)
+    finally:
+        rb._rotate = _orig_rotate
 
+
+def _run(args, jax, jnp, planted_hetero, flash_gat, rb, partition_bcsr):
     n, k, d = args.n, args.k, args.d
     ds = planted_hetero(n_nodes=n, n_feats=16, n_classes=3, n_metapaths=1,
                         avg_degree=args.avg_degree, train_per_class=10,

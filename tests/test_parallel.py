@@ -101,6 +101,23 @@ def test_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_dryrun_equivalence_gate_can_fail(monkeypatch):
+    """Mutation check on the cross-backend equivalence gate (VERDICT r4 #8):
+    perturb ONE backend's attention logits and assert run_dryrun's
+    deterministic-loss assertion actually fires. Guards the guard — a
+    det_max_dev that reads 0.0 is only meaningful if it can read nonzero."""
+    from han_tpu.parallel import dryrun, shard_attn
+
+    real = shard_attn._local_csr_attention
+    # csr backend only: scale that backend's aggregated output — the
+    # flash/ring backends are untouched, so det losses must diverge
+    monkeypatch.setattr(
+        shard_attn, "_local_csr_attention",
+        lambda *a, **kw: real(*a, **kw) * 1.5)
+    with pytest.raises(AssertionError, match="disagree"):
+        dryrun.run_dryrun(8)
+
+
 def test_launch_single_process_noop():
     """init_distributed with no configuration is a no-op that still reports
     the local topology (SURVEY.md §5.8 launcher)."""

@@ -46,7 +46,7 @@ def test_seed_rows_match_full_graph(small_ds):
     seeds = np.arange(16, dtype=np.int32)
     valid = np.ones(16, bool)
     graphs, xs, lbl, mask = t._make_batch(seeds, valid, sample_seed=0)
-    params = t.model.init(jax.random.PRNGKey(0), graphs, xs)
+    params = t._init_params_from(jax.random.PRNGKey(0), graphs, xs)
     block_logits, _ = t._apply(params, graphs, xs, deterministic=True)
 
     # full-graph forward with the SAME params (shapes differ; params don't)
@@ -70,7 +70,7 @@ def test_exact_eval_matches_full_graph(small_ds):
     seeds = np.arange(16, dtype=np.int32)
     valid = np.ones(16, bool)
     graphs, xs, _, _ = t._make_batch(seeds, valid, sample_seed=0)
-    params = t.model.init(jax.random.PRNGKey(0), graphs, xs)
+    params = t._init_params_from(jax.random.PRNGKey(0), graphs, xs)
 
     val_idx = np.where(ds.val_mask)[0]
     l_s, a_s = t.evaluate(params, val_idx)              # sampled (fanout 3)
@@ -99,7 +99,7 @@ def test_exact_eval_unavailable_falls_back(small_ds):
     assert t.exact_eval_plan(max_block=64) is None  # capacity too small
     graphs, xs, _, _ = t._make_batch(np.arange(16, dtype=np.int32),
                                      np.ones(16, bool), sample_seed=0)
-    params = t.model.init(jax.random.PRNGKey(0), graphs, xs)
+    params = t._init_params_from(jax.random.PRNGKey(0), graphs, xs)
     rows = []
     t.logger.log = lambda rec: rows.append(rec)
     t.exact_eval_plan = lambda max_block=64: None
@@ -152,7 +152,7 @@ def test_exact_eval_plan_skewed_graph():
 
     graphs, xs, _, _ = t._make_batch(np.arange(1, 17, dtype=np.int32),
                                      np.ones(16, bool), sample_seed=0)
-    params = t.model.init(jax.random.PRNGKey(0), graphs, xs)
+    params = t._init_params_from(jax.random.PRNGKey(0), graphs, xs)
     l_e, a_e = t.evaluate(params, val_idx, exact=True)
 
     from han_tpu.graph.build import metapath_to_csr
@@ -276,7 +276,7 @@ def test_two_hop_sampled_exactness(small_ds):
     assert t.hops == 2
     seeds = np.array([0, 5, 9, 33, 64, 90, 101, 127], np.int32)
     graphs, xs, lbl, mask = t._make_batch(seeds, np.ones(8, bool), 0)
-    params = t.model.init(jax.random.PRNGKey(1), graphs, xs)
+    params = t._init_params_from(jax.random.PRNGKey(1), graphs, xs)
     block_logits, _ = t._apply(params, graphs, xs, deterministic=True)
 
     from han_tpu.graph.build import metapath_to_csr

