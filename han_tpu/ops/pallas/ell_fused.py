@@ -9,9 +9,17 @@ round-trip per layer — the XLA ell path materializes the gathered
 (N, F, K, D) tensor in HBM; this kernel never does.
 
 Status: relies on Mosaic's dynamic-gather lowering for ``jnp.take`` along
-the sublane axis; validated in interpreter mode everywhere and compiled on
-TPU where supported. Reachable through ``attention_aggregate(...,
-impl="ell_fused")``.
+the sublane axis; validated in interpreter mode everywhere, but Mosaic
+(as of this jax) lowers ``lax.gather`` ONLY in take_along_axis form
+(indices shaped like the operand; _gather_lowering_rule), and its
+sublane-axis dynamic_gather compiles only within one 8-row tile — so this
+kernel does NOT compile on TPU at production shapes (measured r5: the
+8704-row sampled block fails in Mosaic; results/SCALE_r5.md). The sampled
+trainer therefore defaults to the XLA ``ell`` backend, whose flat-(K·D)
+gather layout measured 2.85x faster than its rank-4 form and runs the
+100M-edge config device-bound. This kernel remains the interpreter-mode
+reference for a future Mosaic with general gather support. Reachable
+through ``attention_aggregate(..., impl="ell_fused")``.
 
 Backward: a custom VJP in the edge/segment domain (XLA segment ops — the
 gradients need scatter-adds into source rows, which TPU Pallas has no

@@ -62,6 +62,67 @@ def _resident_gather(tab, nd):
     return jnp.where(real[..., None], out, 0)
 
 
+def _device_sample_block(row_ptr, col_idx, seeds, valid, key, *,
+                         fanout: int, hops: int, block_size: int):
+    """TPU-native L-hop neighbor sampling INSIDE the jitted step.
+
+    The meta-path CSR lives resident in HBM (row_ptr, col_idx device
+    arrays); sampling is pure gathers + PRNG, so the steady-state training
+    step has ZERO per-batch host work and the only H2D is the (B,) seed
+    ids — the tunnel-bandwidth ceiling the host sampler pays
+    (results/SCALE_r5.md) disappears entirely.
+
+    Block layout (no dedup — static shapes): level 0 = the S seed rows;
+    level l+1 = the F sampled in-neighbor slots of every level-l row, in
+    slot order, so every ELL neighbor list is a STATIC iota into the next
+    level. Nodes with degree <= F take their full neighbor list (take-all
+    — exactness when F >= max degree, like the host sampler); larger
+    degrees sample F uniformly WITH replacement (GraphSAGE-style; the
+    host path samples without replacement — documented difference).
+
+    Returns (nbr (B, F) int32 sentinel=B, deg (B,) int32,
+             nodes (B,) int32 global ids pad=-1, n_real_edges scalar).
+    """
+    s = seeds.shape[0]
+    f = fanout
+    e_max = col_idx.shape[0] - 1
+    level = jnp.where(valid, seeds.astype(jnp.int32), -1)  # (S,)
+    nodes_parts = [level]
+    nbr_parts = []
+    n_edges = jnp.int32(0)
+    base_next = s
+    for h in range(hops):
+        lsz = level.shape[0]
+        base_next = base_next + lsz * f
+        sv = jnp.maximum(level, 0)
+        deg = row_ptr[sv + 1] - row_ptr[sv]                # (L,)
+        u = jax.random.uniform(jax.random.fold_in(key, h), (lsz, f))
+        idx_rand = jnp.floor(u * deg[:, None]).astype(jnp.int32)
+        idx_seq = jax.lax.broadcasted_iota(jnp.int32, (lsz, f), 1)
+        off = jnp.where(deg[:, None] <= f, idx_seq, idx_rand)
+        child_valid = (level >= 0)[:, None] & (off < deg[:, None])
+        addr = jnp.minimum(row_ptr[sv][:, None] + off, e_max)
+        child = jnp.where(child_valid, col_idx[addr].astype(jnp.int32), -1)
+        # this level's ELL rows: slot r's children sit at the next level's
+        # rows base + r*F + f — a static iota, masked to the sentinel
+        slot0 = base_next - lsz * f
+        slots = (slot0 + idx_seq
+                 + jax.lax.broadcasted_iota(jnp.int32, (lsz, f), 0) * f)
+        nbr_parts.append(jnp.where(child_valid, slots, block_size))
+        n_edges = n_edges + child_valid.sum(dtype=jnp.int32)
+        level = child.reshape(-1)
+        nodes_parts.append(level)
+    # deepest level + padding rows aggregate nothing
+    total = base_next
+    nbr = jnp.concatenate(
+        nbr_parts + [jnp.full((block_size - (total - level.shape[0]),
+                               f), block_size, jnp.int32)], axis=0)
+    nodes = jnp.concatenate(
+        nodes_parts + [jnp.full((block_size - total,), -1, jnp.int32)])
+    deg_out = (nbr < block_size).sum(axis=1).astype(jnp.int32)
+    return nbr, deg_out, nodes, n_edges
+
+
 class SampledTrainer:
     """HAN/GAT training over seed-node batches of a huge heterogeneous graph."""
 
@@ -70,9 +131,13 @@ class SampledTrainer:
                  hops: int | None = None, block_size: int | None = None,
                  eval_batches: int | None = None,
                  logger: MetricLogger | None = None,
-                 guard=None, resident_features: bool | None = None):
+                 guard=None, resident_features: bool | None = None,
+                 sampler: str = "host"):
         self.ds = ds
         self.cfg = cfg
+        if sampler not in ("host", "device"):
+            raise ValueError("sampler must be 'host' or 'device'")
+        self.sampler = sampler
         # preemption flag polled at batch boundaries (train/preempt.py);
         # None → no signal handling (tests inject via guard.trip())
         self.guard = guard
@@ -89,6 +154,11 @@ class SampledTrainer:
             raise ValueError(
                 "sampled training runs on the ell or ell_fused backends")
         if cfg.model.impl == "auto":
+            # measured default (results/SCALE_r5.md): the flat-(K·D)-layout
+            # XLA ell path runs the 100M-edge config at 15.3 ms/step
+            # device-bound; ell_fused's Pallas forward cannot compile on
+            # TPU at production shapes (Mosaic supports gather only in
+            # take_along_axis form — ops/pallas/ell_fused.py docstring)
             cfg.model.impl = "ell"
         self.model = build_model(ds, cfg)
         self._is_han = cfg.model.arch.startswith("han")
@@ -117,6 +187,8 @@ class SampledTrainer:
         if resident_features is None:
             resident_features = (self.features.nbytes
                                  + self.labels.nbytes) <= (2 << 30)
+        if sampler == "device" and not resident_features:
+            raise ValueError("sampler='device' needs resident features")
         self.resident = bool(resident_features)
         if self.resident:
             mesh = getattr(self, "mesh", None)
@@ -129,13 +201,50 @@ class SampledTrainer:
             else:
                 self._fts_dev = jax.device_put(self.features)
                 self._lbl_dev = jax.device_put(self.labels)
+        if sampler == "device":
+            # no-dedup block layout: levels S, S·F, …, S·F^hops must fit
+            need = sum(batch_size * fanout ** h for h in range(self.hops + 1))
+            if need > self.block_size:
+                raise ValueError(
+                    f"device sampler needs block_size >= {need}")
+            if any(c.n_edges >= 2 ** 31 for c in self.csrs):
+                raise ValueError("device sampler: edge count exceeds int32")
+            # meta-path CSRs resident in HBM: sampling runs inside the
+            # jitted step (_device_sample_block); per-batch H2D = seed ids
+            self._csr_dev = [
+                (jax.device_put(np.asarray(c.row_ptr, np.int32)),
+                 jax.device_put(np.asarray(c.col_idx, np.int32)))
+                for c in self.csrs]
         self._build_steps()
 
-    # -- host-side block assembly -----------------------------------------
+    # -- batch assembly ----------------------------------------------------
     def _make_batch(self, seeds: np.ndarray, valid: np.ndarray,
                     sample_seed: int, *, fanout: int | None = None,
                     block_size: int | None = None):
-        """Blocks for one seed batch → (graphs, xs, labels, mask) device args.
+        """One seed batch → the jitted step's batch arguments.
+
+        Device-sampler mode returns a tiny descriptor (seed ids, valid
+        mask, sampling key) — the block is assembled INSIDE the step from
+        the HBM-resident CSR. Custom fanout/block_size requests (exact
+        eval) and host mode build the block host-side."""
+        if (self.sampler == "device" and fanout is None
+                and block_size is None):
+            # ONE packed int32 buffer (seeds | valid | sample seed): the
+            # tunnel charges per-transfer latency, so the descriptor rides
+            # a single H2D; the step unpacks it (and derives the PRNG key
+            # from the seed) in-jit
+            packed = np.empty(2 * seeds.shape[0] + 1, np.int32)
+            packed[: seeds.shape[0]] = seeds.astype(np.int32)
+            packed[seeds.shape[0]: 2 * seeds.shape[0]] = valid
+            packed[-1] = sample_seed
+            return (packed, None, None, None)
+        return self._make_batch_host(seeds, valid, sample_seed,
+                                     fanout=fanout, block_size=block_size)
+
+    def _make_batch_host(self, seeds: np.ndarray, valid: np.ndarray,
+                         sample_seed: int, *, fanout: int | None = None,
+                         block_size: int | None = None):
+        """Host-sampled blocks → (graphs, xs, labels, mask) device args.
 
         ``valid`` masks padded seed slots (eval tail batches). Static
         shapes: every output has the same shape for every batch (a distinct
@@ -232,7 +341,66 @@ class SampledTrainer:
                     jnp.sum(mask), embed)
 
         jt, je = jax.jit(train_step), jax.jit(eval_step)
-        if self.resident:
+
+        if self.sampler == "device":
+            # sampling inside the step: block descriptors in, blocks built
+            # from the HBM-resident CSRs as gathers (+ static-iota ELL)
+            fanout, hops, block = self.fanout, self.hops, self.block_size
+
+            def build_blocks(seeds, valid, skey, csrs):
+                graphs, xs, n_edges = [], [], jnp.int32(0)
+                for p, (rp, ci) in enumerate(csrs):
+                    nbr, deg, nodes, ne = _device_sample_block(
+                        rp, ci, seeds, valid, jax.random.fold_in(skey, p),
+                        fanout=fanout, hops=hops, block_size=block)
+                    graphs.append(EllGraph(nbr=nbr, deg=deg, n_nodes=block,
+                                           n_edges=block * fanout))
+                    xs.append(nodes)
+                    n_edges = n_edges + ne
+                mask = jnp.zeros(block, jnp.float32).at[
+                    : seeds.shape[0]].set(valid.astype(jnp.float32))
+                return graphs, xs, mask, n_edges
+
+            def unpack(packed):
+                s = (packed.shape[0] - 1) // 2
+                return (packed[:s], packed[s:2 * s] != 0,
+                        jax.random.PRNGKey(packed[-1]))
+
+            def dev_train_step(params, opt_state, rng, packed,
+                               fts, lab_tab, csrs):
+                seeds, valid, skey = unpack(packed)
+                graphs, xs, mask, ne = build_blocks(seeds, valid, skey, csrs)
+                out = train_step(params, opt_state, rng, graphs, xs, None,
+                                 mask, fts, lab_tab)
+                return out + (ne,)
+
+            def dev_eval_step(params, packed, fts, lab_tab, csrs):
+                seeds, valid, skey = unpack(packed)
+                graphs, xs, mask, ne = build_blocks(seeds, valid, skey, csrs)
+                return eval_step(params, graphs, xs, None, mask, fts,
+                                 lab_tab) + (ne,)
+
+            djt, dje = jax.jit(dev_train_step), jax.jit(dev_eval_step)
+            self._pending_edge_counts = []
+
+            def tr(p, o, r, *batch):
+                if isinstance(batch[0], (list, tuple)):  # host-built block
+                    return jt(p, o, r, *batch, self._fts_dev, self._lbl_dev)
+                *out, ne = djt(p, o, r, batch[0], self._fts_dev,
+                               self._lbl_dev, self._csr_dev)
+                self._pending_edge_counts.append(ne)
+                return tuple(out)
+
+            def ev(p, *batch):
+                if isinstance(batch[0], (list, tuple)):
+                    return je(p, *batch, self._fts_dev, self._lbl_dev)
+                *out, ne = dje(p, batch[0], self._fts_dev,
+                               self._lbl_dev, self._csr_dev)
+                self._pending_edge_counts.append(ne)
+                return tuple(out)
+
+            self._train_step, self._eval_step = tr, ev
+        elif self.resident:
             # the resident tables ride as jit ARGUMENTS (closure-captured
             # device arrays are re-uploaded per call on axon)
             self._train_step = lambda p, o, r, g, x, l, m: jt(
@@ -241,6 +409,18 @@ class SampledTrainer:
                 p, g, x, l, m, self._fts_dev, self._lbl_dev)
         else:
             self._train_step, self._eval_step = jt, je
+
+    def flush_sampled_edges(self) -> int:
+        """Fold the device-side real-edge counters of device-sampled steps
+        into ``sampled_edge_count`` (one device sync)."""
+        pend = getattr(self, "_pending_edge_counts", None)
+        if pend:
+            total = pend[0]
+            for v in pend[1:]:
+                total = total + v
+            self.sampled_edge_count += int(total)
+            self._pending_edge_counts = []
+        return self.sampled_edge_count
 
     def _prefetched_indexed(self, indexed_iter, sample_seed_fn):
         """One-ahead pipelined batch assembly: the NEXT block is sampled on a
@@ -279,6 +459,13 @@ class SampledTrainer:
             yield chunk.astype(np.int32), valid
 
     def _init_params_from(self, rng, graphs, xs):
+        if not isinstance(graphs, (list, tuple)):
+            # device-sampler packed descriptor: shapes at apply time equal
+            # a host-built block's — init through one host block
+            packed = np.asarray(graphs)
+            s = (packed.shape[0] - 1) // 2
+            graphs, xs, _, _ = self._make_batch_host(
+                packed[:s], packed[s:2 * s] != 0, sample_seed=0)
         # init must see the shapes/dtypes apply sees in-jit: int32 indices
         # and materialized features (host-side here — no extra compiles)
         graphs = [EllGraph(

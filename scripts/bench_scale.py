@@ -57,6 +57,7 @@ def main(argv=None):
     p.add_argument("--fanout", type=int, default=16)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--impl", default="ell", choices=["ell", "ell_fused"])
+    p.add_argument("--sampler", default="host", choices=["host", "device"])
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -92,7 +93,8 @@ def main(argv=None):
     cfg.model.impl = args.impl
     cfg.train.log_file = ""
     trainer = SampledTrainer(ds, cfg, batch_size=args.batch_size,
-                             fanout=args.fanout, eval_batches=1)
+                             fanout=args.fanout, eval_batches=1,
+                             sampler=args.sampler)
 
     train_idx = np.where(ds.train_mask)[0]
     params = None
@@ -111,7 +113,7 @@ def main(argv=None):
     float(out[3])  # force completion (axon: block_until_ready is enqueue-only)
     print("# compiled; timing", file=sys.stderr, flush=True)
 
-    edges0 = trainer.sampled_edge_count
+    edges0 = trainer.flush_sampled_edges()
     t_loop0 = time.perf_counter()
     n_steps = 0
     loss = out[3]
@@ -123,7 +125,7 @@ def main(argv=None):
         step_times.append(time.perf_counter() - ts)
         n_steps += 1
     final_loss = float(loss)  # forces the whole chain
-    sampled_edges = trainer.sampled_edge_count - edges0
+    sampled_edges = trainer.flush_sampled_edges() - edges0
     t_total = time.perf_counter() - t_loop0
 
     # -- step-time breakdown (r2 VERDICT item 5): where does the time go? --
@@ -134,7 +136,9 @@ def main(argv=None):
         gb, xb, lb, mb = trainer._make_batch(
             *next(trainer._seed_batches(train_idx, shuffle=True, epoch=7 + i)),
             sample_seed=900 + i)
-        float(xb[0].sum())  # force the H2D transfers to complete
+        probe = xb[0] if xb is not None else gb  # device mode: packed desc
+        import jax.numpy as _jnp
+        float(_jnp.asarray(probe).sum())  # force the H2D to complete
         t_host.append(time.perf_counter() - th)
     # pure device compute: chained steps on ONE resident batch (no host
     # work, no transfers); marginal time per extra step
@@ -154,8 +158,8 @@ def main(argv=None):
     step_ms = t_total / max(n_steps, 1) * 1e3
     result = {
         "metric": (f"sampled-edges/s/chip (train fwd+bwd, impl={args.impl}, "
-                   f"N={n}, E={total_edges}, B={args.batch_size}, "
-                   f"f={args.fanout})"),
+                   f"sampler={args.sampler}, N={n}, E={total_edges}, "
+                   f"B={args.batch_size}, f={args.fanout})"),
         "value": round(sampled_edges * heads / t_total, 1),
         "unit": "edges/s/chip",
         "vs_baseline": None,

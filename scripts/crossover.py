@@ -94,12 +94,12 @@ def main(argv=None):
         c = m.tocsr()
         deg = np.diff(c.indptr).astype(np.int32)
         f = int(deg.max())
-        # XLA lays the backward's (n, f, k, d) gather-transpose out with the
-        # trailing dims padded to the (8, 128) tile — at d=8 that's a 16x
-        # expansion (measured OOM: 13.75 GB for 65536x55x8x8) — so the cap
-        # must use PADDED bytes, not logical bytes
-        gather_gb = (n * f * ((k + 7) // 8 * 8)
-                     * ((d + 127) // 128 * 128) * 4 / 1e9)
+        # padded bytes of the gathered (n, f, K·D) block — ell_attention
+        # gathers in FLAT (K·D)-lane layout since r5 (ops/attention.py), so
+        # the trailing dim pads to one 128-lane tile instead of the rank-4
+        # form's 16x expansion (which OOM'd: 13.75 GB for 65536x55x8x8)
+        gather_gb = (n * ((f + 7) // 8 * 8)
+                     * ((k * d + 127) // 128 * 128) * 4 / 1e9)
         if gather_gb > args.ell_cap_gb:
             return None, f, gather_gb
         nbr = np.full((n, f), n, np.int32)

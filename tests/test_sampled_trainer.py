@@ -290,6 +290,48 @@ def test_two_hop_sampled_exactness(small_ds):
         rtol=2e-4, atol=1e-5)
 
 
+def test_device_sampler_seed_rows_match_full_graph(small_ds):
+    """TPU-native in-step sampling (zero per-batch host work): with
+    fanout >= max degree the device sampler takes every in-neighbor
+    (take-all branch), so seed logits equal the full-graph ell forward —
+    the same exactness contract as the host sampler."""
+    ds = small_ds
+    max_deg = 1 + max(int(np.diff(a.indptr).max()) for a in ds.metapath_adjs)
+    t = make_trainer(ds, batch_size=16, fanout=max_deg,
+                     block_size=16 * (max_deg + 1), sampler="device")
+    seeds = np.arange(16, dtype=np.int32)
+    valid = np.ones(16, bool)
+    batch = t._make_batch(seeds, valid, sample_seed=3)
+    assert not isinstance(batch[0], (list, tuple))  # tiny packed descriptor
+    params = t._init_params_from(jax.random.PRNGKey(0), batch[0], batch[1])
+    opt_state = t.tx.init(params)
+    rng = jax.random.PRNGKey(7)
+    p2, o2, _, loss_dev, acc_dev = t._train_step(params, opt_state, rng,
+                                                 *batch)
+    assert np.isfinite(float(loss_dev))
+    assert t.flush_sampled_edges() > 0
+
+    # the HOST block on the same seeds must produce the same loss: both
+    # take full neighborhoods, and the loss masks to seed rows only
+    hb = t._make_batch_host(seeds, valid, sample_seed=3)
+    p1, o1, _, loss_host, acc_host = t._train_step(params, opt_state, rng,
+                                                   *hb)
+    np.testing.assert_allclose(float(loss_dev), float(loss_host),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(acc_dev), float(acc_host), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_device_sampler_training_learns(small_ds):
+    t = make_trainer(small_ds, batch_size=24, fanout=6, epochs=25,
+                     sampler="device")
+    result = t.fit()
+    assert result["test_acc"] > 0.55
+
+
 class _TripAfter:
     """Fault injection: quacks like PreemptionGuard, fires after n polls
     (the trainer polls once per trained batch)."""
