@@ -45,16 +45,33 @@ from han_tpu.graph.containers import CSRGraph, DenseGraph, EllGraph, MASK_VALUE
 Impl = Literal["auto", "dense", "ell", "ell_fused", "csr", "flash"]
 
 # flash-vs-csr crossover for ``impl="auto"`` on BCSR inputs, measured on
-# the real v5e at N=65536 / E≈2M across tile densities
-# (results/CROSSOVER_r4.md): the flash kernel sweeps
-# ``graph.elems_per_edge()`` = occupancy()·n_pad²/E tile elements per real
-# edge (measured linear: 29 ms at occ 0.038 → 749 ms at occ 1.0); the csr
-# segment-op backend pays a flat edge-count-bound cost (707–753 ms at the
-# same E) instead. Measured: flash ahead 1.04× at 2076 elems/edge, tie at
-# 2148, csr ahead from 2207 — 2000 sits inside the tie band, erring ≤4%
-# toward csr on structureless scatter; everything with any community
-# locality dispatches to flash (24.6× ahead at the 3.8%-occupancy graph).
-FLASH_MAX_ELEMS_PER_EDGE = 2000.0
+# the real v5e at N=65536 / E≈2M across tile densities, PER TILE GEOMETRY
+# (VERDICT r4 #4 — a threshold in swept-elems/edge is not
+# geometry-invariant because flash's per-element cost falls with tile
+# width, which amortizes the ~13 µs fixed per-grid-step cost):
+#
+# - (512, 512), results/CROSSOVER_r4.md: flash cost ≈ linear in swept
+#   elems (29 ms at occ 0.038 → 749 ms at occ 1.0) vs csr's flat
+#   707–753 ms — tie band at 2076–2207 elems/edge → threshold 2000.
+# - (512, 2048) [the shipped default tiles],
+#   results/CROSSOVER_r5_bn2048.json: flash ≈ 16 + 0.126·(elems/edge) ms
+#   at this E — 301 ms even at FULL occupancy (2260 elems/edge) vs csr's
+#   713–754 ms; the fitted crossing sits at ≈5500 elems/edge, beyond any
+#   achievable density on this sweep, so flash wins everywhere measured.
+#
+# Unlisted geometries fall back to the conservative (512, 512) figure.
+FLASH_MAX_ELEMS_PER_EDGE_BY_TILE = {
+    (512, 512): 2000.0,
+    (512, 2048): 5500.0,
+}
+FLASH_MAX_ELEMS_PER_EDGE = 2000.0  # conservative default (bn=512 figure)
+
+
+def flash_csr_threshold(bm: int, bn: int) -> float:
+    """Measured flash→csr dispatch crossover (swept elems per real edge)
+    for a tile geometry; conservative default for unmeasured shapes."""
+    return FLASH_MAX_ELEMS_PER_EDGE_BY_TILE.get(
+        (int(bm), int(bn)), FLASH_MAX_ELEMS_PER_EDGE)
 
 
 def leaky_relu(x: jax.Array, slope: float) -> jax.Array:
@@ -283,12 +300,14 @@ def attention_aggregate(
         elif isinstance(graph, CSRGraph):
             impl = "csr"
         elif type(graph).__name__ == "BCSRGraph":
-            # occupancy-aware dispatch (results/CROSSOVER_r4.md): flash
-            # while the per-edge swept tile area stays under the measured
-            # crossover; beyond it the edge-domain csr backend wins, and the
-            # container carries its own edge view (bcsr.as_csr)
+            # occupancy-aware dispatch (results/CROSSOVER_r4.md +
+            # CROSSOVER_r5_bn2048.json): flash while the per-edge swept
+            # tile area stays under the crossover MEASURED AT THIS TILE
+            # GEOMETRY; beyond it the edge-domain csr backend wins, and
+            # the container carries its own edge view (bcsr.as_csr)
             if (graph.edge_col is not None
-                    and graph.elems_per_edge() > FLASH_MAX_ELEMS_PER_EDGE):
+                    and graph.elems_per_edge()
+                    > flash_csr_threshold(graph.bm, graph.bn)):
                 graph = graph.as_csr()
                 impl = "csr"
             else:

@@ -148,7 +148,7 @@ def _fwd_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref, ld_ref,
                 else:
                     p_agg = p
                 hd = slice(h * d, (h + 1) * d)
-                pv = jnp.dot(p_agg, v_ref[cs, hd],
+                pv = jnp.dot(p_agg, v_ref[cs, hd].astype(jnp.float32),
                              preferred_element_type=jnp.float32)  # (BM, D)
                 acc_ref[:, hd] = acc_ref[:, hd] * scale[:, None] + pv
                 m_ref[h, :] = m_new
@@ -282,7 +282,9 @@ def _bwd_row_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref,
                 hd = slice(h * d, (h + 1) * d)
                 _, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, cs],
                                   lse_ref[h, :], delta_ref[h, :],
-                                  g_ref[:, hd], v_ref[cs, hd], slope, mask)
+                                  g_ref[:, hd],
+                                  v_ref[cs, hd].astype(jnp.float32),
+                                  slope, mask)
                 acc_ref[h, :] += jnp.sum(dzs, axis=1)
 
     @pl.when(j == n_j - 1)
@@ -342,7 +344,8 @@ def _bwd_col_kernel(counts_ref, rows_ref, tiles_ref, meta_ref, adj_ref,
                 hd = slice(h * d, (h + 1) * d)
                 c_agg, dzs = _head_dz(on_edge, ld_ref[h, :], ls_ref[h, cs],
                                       lse_ref[h, :], delta_ref[h, :],
-                                      g_ref[:, hd], v_ref[cs, hd],
+                                      g_ref[:, hd],
+                                      v_ref[cs, hd].astype(jnp.float32),
                                       slope, mask)
                 dls_acc[h, cs] += jnp.sum(dzs, axis=0)
                 dv_acc[cs, hd] += jax.lax.dot_general(  # (c·m)^T · g
@@ -548,7 +551,7 @@ def _flash_core_bwd(slope, bm, bn, interpret, dropout_p, res, g):
                               dropout_p=dropout_p)
     z = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return (z(tiles2d), z(fcnt), z(fcol), z(ftile), z(bcnt), z(brow),
-            z(btile), z(meta), dld, dls, dv)
+            z(btile), z(meta), dld, dls, dv.astype(v.dtype))
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -596,7 +599,12 @@ def flash_gat_attention(
     bm, bn, n_pad = graph.bm, graph.bn, graph.n_pad
     kp = max(((k + 7) // 8) * 8, 8)  # sublane padding for per-head vectors
 
-    v = jnp.pad(fts.astype(jnp.float32), ((0, n_pad - n), (0, 0), (0, 0)))
+    # bf16 features stream to the kernels AS bf16 (the v block is the
+    # largest per-tile DMA after the adjacency; halving it measurably
+    # helps the backward — results/BF16_r5.md) and upcast in-register;
+    # everything else computes/accumulates f32
+    v_dt = jnp.bfloat16 if fts.dtype == jnp.bfloat16 else jnp.float32
+    v = jnp.pad(fts.astype(v_dt), ((0, n_pad - n), (0, 0), (0, 0)))
     ld = jnp.pad(logit_dst.astype(jnp.float32).T,
                  ((0, kp - k), (0, n_pad - n)))
     ls = jnp.pad(logit_src.astype(jnp.float32).T,

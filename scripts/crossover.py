@@ -64,6 +64,10 @@ def main(argv=None):
     p.add_argument("--ell-cap-gb", type=float, default=8.0,
                    help="skip ell when the (N,F,K,D) gather temp exceeds this")
     p.add_argument("--out", default="results/CROSSOVER_r4.json")
+    p.add_argument("--skip", type=int, default=0,
+                   help="skip the first N cases (resume an interrupted sweep)")
+    p.add_argument("--append", action="store_true",
+                   help="merge rows into an existing --out file")
     args = p.parse_args(argv)
 
     import jax
@@ -147,7 +151,10 @@ def main(argv=None):
     ]
 
     rows = []
-    for name, build in cases:
+    if args.append and pathlib.Path(args.out).exists():
+        with open(args.out) as f:
+            rows = json.load(f)["rows"]
+    for name, build in cases[args.skip:]:
         adj = build()
         g = bcsr_from_scipy(adj, bm=args.bm, bn=args.bn)
         row = {"graph": name, "n": n, "edges": int(adj.nnz),

@@ -184,6 +184,33 @@ def test_auto_dispatch_by_tile_density(monkeypatch):
     A.attention_aggregate(g_noedges, fts, ld, ls, impl="auto")
     assert calls == ["flash"]
 
+    # geometry-aware threshold (VERDICT r4 #4): the SAME graph at
+    # ~3000 swept elems/edge dispatches to csr at (512, 512) tiles
+    # (threshold 2000, CROSSOVER_r4) but to flash at the default
+    # (512, 2048) tiles (threshold 5500, CROSSOVER_r5_bn2048 — wide
+    # tiles amortize the per-grid-step cost)
+    n2 = 2048
+    rng2 = np.random.default_rng(1)
+    sc = sp.coo_matrix(
+        (np.ones(1400, np.float32),
+         (rng2.integers(0, n2, 1400), rng2.integers(0, n2, 1400))),
+        shape=(n2, n2)).tocsr()
+    fts2 = jnp.asarray(rng2.standard_normal((n2, k, d)).astype(np.float32))
+    ld2 = jnp.asarray(rng2.standard_normal((n2, k)).astype(np.float32))
+    ls2 = jnp.asarray(rng2.standard_normal((n2, k)).astype(np.float32))
+    g_narrow = bcsr_from_scipy(sc, bm=512, bn=512)
+    g_wide = bcsr_from_scipy(sc, bm=512, bn=2048)
+    assert (A.flash_csr_threshold(512, 512)
+            < g_narrow.elems_per_edge() < A.flash_csr_threshold(512, 2048))
+    assert (A.flash_csr_threshold(512, 512)
+            < g_wide.elems_per_edge() < A.flash_csr_threshold(512, 2048))
+    calls.clear()
+    A.attention_aggregate(g_narrow, fts2, ld2, ls2, impl="auto")
+    assert calls == ["csr"]
+    calls.clear()
+    A.attention_aggregate(g_wide, fts2, ld2, ls2, impl="auto")
+    assert calls == ["flash"]
+
     # flash dispatch agrees with the dense oracle (no empty rows there)...
     ref_dense = dense_attention(dense_from_numpy(a), fts, ld, ls)
     np.testing.assert_allclose(np.asarray(out_dense_tiles),

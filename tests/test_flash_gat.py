@@ -58,3 +58,28 @@ def test_flash_gradients_match_dense():
     for gf, gd in zip(g_flash, g_dense):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_flash_bf16_vstream_matches_f32():
+    """bf16 feature streaming (results/BF16_r5.md): bf16 inputs flow to the
+    kernel AS bf16 and upcast in-register; outputs and the dv cotangent
+    come back in bf16, matching the f32 path within bf16 rounding."""
+    dense, graph, fts, ld, ls = make_case(96, 2, 8, seed=13)
+    out32 = flash_gat_attention(graph, fts, ld, ls)
+    fts16 = fts.astype(jnp.bfloat16)
+    out16 = flash_gat_attention(graph, fts16, ld, ls)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out16, np.float32),
+                               np.asarray(out32), atol=3e-2, rtol=3e-2)
+
+    def loss16(f):
+        return flash_gat_attention(graph, f, ld, ls).astype(jnp.float32).sum()
+
+    def loss32(f):
+        return flash_gat_attention(graph, f, ld, ls).sum()
+
+    g16 = jax.grad(loss16)(fts16)
+    g32 = jax.grad(loss32)(fts)
+    assert g16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(g16, np.float32), np.asarray(g32),
+                               atol=3e-2, rtol=3e-2)
