@@ -94,6 +94,12 @@ class BCSRGraph:
     edge_row_ptr: jax.Array | None = None  # int32[N + 1]
     edge_col: jax.Array | None = None      # int32[E]
     edge_row: jax.Array | None = None      # int32[E]
+    # flat active-tile forward map (flat_fwd_map): the single-chip
+    # forward grid visits exactly the occupied tiles (row-block-major)
+    # instead of a rectangular (nb_r, c_max) grid with masked steps
+    # (results/ROOFLINE.md r5). Tuple of 4 int32[T_steps] arrays:
+    # (row, col, tile, active)
+    fwd_flat: tuple | None = None
 
     @property
     def nb_r(self) -> int:
@@ -138,7 +144,7 @@ jax.tree_util.register_pytree_node(
     BCSRGraph,
     lambda g: ((g.tiles, g.fwd_count, g.fwd_col, g.fwd_tile,
                 g.bwd_count, g.bwd_row, g.bwd_tile,
-                g.edge_row_ptr, g.edge_col, g.edge_row),
+                g.edge_row_ptr, g.edge_col, g.edge_row, g.fwd_flat),
                (g.n_nodes, g.n_pad, g.bm, g.bn, g.n_edges, g.n_tiles)),
     lambda meta, data: BCSRGraph(*data[:7], *meta, *data[7:]),
 )
@@ -206,6 +212,39 @@ def build_tile_arrays(rows: np.ndarray, cols: np.ndarray, nb_r: int,
             bwd_count, bwd_row, bwd_tile, n_tiles)
 
 
+def flat_fwd_map(fwd_count: np.ndarray, fwd_col: np.ndarray,
+                 fwd_tile: np.ndarray):
+    """Flatten the grouped forward map into one ACTIVE-TILE step list
+    (row-block-major): 4 int32[T_steps] arrays (row, col, tile, active).
+
+    The rectangular (nb_r x c_max) grid pays a full pipeline step - block
+    DMAs included - for every masked (j >= count) slot; on skewed graphs
+    that is up to (1 - mean/max tiles-per-row-block) wasted steps. The
+    flat list visits exactly the occupied tiles, plus one INACTIVE step
+    per empty row block so its output block still gets finalized to the
+    edgeless-row zeros. (A paired two-tiles-per-step variant was measured
+    SLOWER on-chip - 3.20 vs 2.68 ms fwd at the bench shape: doubling the
+    DMA windows per step costs more than the amortized fixed step cost -
+    results/ROOFLINE.md r5.) Column order within each row block is
+    preserved, so the online-softmax update order and the dropout PRNG
+    streams match the rectangular grid exactly."""
+    rows_l, cols_l, tiles_l, act_l = [], [], [], []
+    for rb, c in enumerate(np.asarray(fwd_count)):
+        c = int(c)
+        if c:
+            rows_l += [rb] * c
+            cols_l += list(np.asarray(fwd_col[rb, :c]))
+            tiles_l += list(np.asarray(fwd_tile[rb, :c]))
+            act_l += [1] * c
+        else:
+            rows_l.append(rb)
+            cols_l.append(0)
+            tiles_l.append(0)
+            act_l.append(0)
+    mk = lambda x: np.asarray(x, np.int32)
+    return (mk(rows_l), mk(cols_l), mk(tiles_l), mk(act_l))
+
+
 def bcsr_from_coo(rows: np.ndarray, cols: np.ndarray, n: int, *,
                   bm: int = DEF_BM, bn: int = DEF_BN,
                   n_edges: int | None = None,
@@ -230,6 +269,8 @@ def bcsr_from_coo(rows: np.ndarray, cols: np.ndarray, n: int, *,
         counts = np.bincount(rows, minlength=n).astype(np.int64)
         edge_row_ptr = jnp.asarray(
             np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
+    flat = tuple(jnp.asarray(a) for a in
+                 flat_fwd_map(fwd_count, fwd_col, fwd_tile))
     return BCSRGraph(
         tiles=jnp.asarray(tiles),
         fwd_count=jnp.asarray(fwd_count),
@@ -242,6 +283,7 @@ def bcsr_from_coo(rows: np.ndarray, cols: np.ndarray, n: int, *,
         n_edges=int(rows.shape[0]) if n_edges is None else int(n_edges),
         n_tiles=n_tiles,
         edge_row_ptr=edge_row_ptr, edge_col=edge_col, edge_row=edge_row,
+        fwd_flat=flat,
     )
 
 

@@ -113,58 +113,110 @@ def _fwd_kernel(counts_ref, cols_ref, tiles_ref, meta_ref, adj_ref, ld_ref,
 
     @pl.when(j < counts_ref[i])
     def _compute():
-        bn = adj_ref.shape[1]
-        # dropout's in-kernel PRNG mask adds (BM, strip)-sized temporaries;
-        # with dropout off the whole tile is one strip (fastest — the
-        # serial m/l chain across strips costs ~2.7x when not needed)
-        sub = bn if dropout_p == 0.0 else min(SUB, bn)
-        for c in range(bn // sub):  # static column strips within the tile
-            cs = slice(c * sub, (c + 1) * sub)
-            on_edge = adj_ref[:, cs] != 0  # int8 compare, no f32 tile
-
-            for h in range(k):  # static unroll; strip reused across heads
-                ld = ld_ref[h, :]   # (BM,)
-                ls = ls_ref[h, cs]  # (SUB,)
-                raw = ld[:, None] + ls[None, :]  # (BM, SUB)
-                # leaky_relu == max(x, slope*x) for 0 <= slope <= 1, folded
-                # into the mask select: one select pass instead of two
-                z = jnp.where(on_edge, jnp.maximum(raw, slope * raw),
-                              MASK_VALUE)
-
-                m_prev = m_ref[h, :]
-                m_new = jnp.maximum(m_prev, jnp.max(z, axis=1))
-                scale = jnp.exp(m_prev - m_new)  # flushes pre-edge junk to 0
-                p = jnp.exp(z - m_new[:, None])  # masked entries underflow to 0
-                l_new = l_ref[h, :] * scale + jnp.sum(p, axis=1)
-                if dropout_p > 0.0:
-                    # reference order: softmax first, then dropout on the
-                    # coefs (layers.py:27-30) — l uses undropped p, acc the
-                    # dropped. meta[3] globalizes the column-block index for
-                    # column-sharded (ring) execution.
-                    p_agg = p * _tile_drop_keep(
-                        p.shape, dropout_p, meta_ref[0], i + meta_ref[1],
-                        (cols_ref[i, j] + meta_ref[3]) * (bn // sub) + c,
-                        meta_ref[2] + h, interpret)
-                else:
-                    p_agg = p
-                hd = slice(h * d, (h + 1) * d)
-                pv = jnp.dot(p_agg, v_ref[cs, hd].astype(jnp.float32),
-                             preferred_element_type=jnp.float32)  # (BM, D)
-                acc_ref[:, hd] = acc_ref[:, hd] * scale[:, None] + pv
-                m_ref[h, :] = m_new
-                l_ref[h, :] = l_new
+        _fwd_tile_compute(adj_ref, ld_ref, ls_ref, v_ref, acc_ref, m_ref,
+                          l_ref, meta_ref, i + meta_ref[1],
+                          cols_ref[i, j] + meta_ref[3], slope=slope, k=k,
+                          d=d, dropout_p=dropout_p, interpret=interpret)
 
     @pl.when(j == n_j - 1)
     def _finalize():
-        for h in range(k):
+        _fwd_finalize(out_ref, lse_ref, acc_ref, m_ref, l_ref, k=k, d=d)
+
+
+def _fwd_tile_compute(adj_ref, ld_ref, ls_ref, v_ref, acc_ref, m_ref, l_ref,
+                      meta_ref, i_abs, col_abs, *, slope: float, k: int,
+                      d: int, dropout_p: float, interpret: bool):
+    """One occupied tile's online-softmax update (shared by the
+    rectangular and flat-grid forward kernels; the dropout PRNG stream is
+    keyed by the GLOBAL (row block, column block, head), so both grids —
+    and every shard of a partitioned run — replay identical masks)."""
+    bn = adj_ref.shape[1]
+    # dropout's in-kernel PRNG mask adds (BM, strip)-sized temporaries;
+    # with dropout off the whole tile is one strip (fastest — the
+    # serial m/l chain across strips costs ~2.7x when not needed)
+    sub = bn if dropout_p == 0.0 else min(SUB, bn)
+    for c in range(bn // sub):  # static column strips within the tile
+        cs = slice(c * sub, (c + 1) * sub)
+        on_edge = adj_ref[:, cs] != 0  # int8 compare, no f32 tile
+
+        for h in range(k):  # static unroll; strip reused across heads
+            ld = ld_ref[h, :]   # (BM,)
+            ls = ls_ref[h, cs]  # (SUB,)
+            raw = ld[:, None] + ls[None, :]  # (BM, SUB)
+            # leaky_relu == max(x, slope*x) for 0 <= slope <= 1, folded
+            # into the mask select: one select pass instead of two
+            z = jnp.where(on_edge, jnp.maximum(raw, slope * raw),
+                          MASK_VALUE)
+
+            m_prev = m_ref[h, :]
+            m_new = jnp.maximum(m_prev, jnp.max(z, axis=1))
+            scale = jnp.exp(m_prev - m_new)  # flushes pre-edge junk to 0
+            p = jnp.exp(z - m_new[:, None])  # masked entries underflow to 0
+            l_new = l_ref[h, :] * scale + jnp.sum(p, axis=1)
+            if dropout_p > 0.0:
+                # reference order: softmax first, then dropout on the
+                # coefs (layers.py:27-30) — l uses undropped p, acc the
+                # dropped. col_abs globalizes the column-block index for
+                # column-sharded (ring) execution.
+                p_agg = p * _tile_drop_keep(
+                    p.shape, dropout_p, meta_ref[0], i_abs,
+                    col_abs * (bn // sub) + c,
+                    meta_ref[2] + h, interpret)
+            else:
+                p_agg = p
             hd = slice(h * d, (h + 1) * d)
-            l = l_ref[h, :]
-            m = m_ref[h, :]
-            has_edge = m > (_NEG_INIT * 0.5)  # any real edge in this row
-            inv = jnp.where(has_edge, 1.0 / jnp.maximum(l, 1e-30), 0.0)
-            out_ref[:, hd] = acc_ref[:, hd] * inv[:, None]
-            lse_ref[h, :] = jnp.where(
-                has_edge, m + jnp.log(jnp.maximum(l, 1e-30)), _NEG_INIT)
+            pv = jnp.dot(p_agg, v_ref[cs, hd].astype(jnp.float32),
+                         preferred_element_type=jnp.float32)  # (BM, D)
+            acc_ref[:, hd] = acc_ref[:, hd] * scale[:, None] + pv
+            m_ref[h, :] = m_new
+            l_ref[h, :] = l_new
+
+
+def _fwd_finalize(out_ref, lse_ref, acc_ref, m_ref, l_ref, *, k: int, d: int):
+    for h in range(k):
+        hd = slice(h * d, (h + 1) * d)
+        l = l_ref[h, :]
+        m = m_ref[h, :]
+        has_edge = m > (_NEG_INIT * 0.5)  # any real edge in this row
+        inv = jnp.where(has_edge, 1.0 / jnp.maximum(l, 1e-30), 0.0)
+        out_ref[:, hd] = acc_ref[:, hd] * inv[:, None]
+        lse_ref[h, :] = jnp.where(
+            has_edge, m + jnp.log(jnp.maximum(l, 1e-30)), _NEG_INIT)
+
+
+def _fwd_kernel_flat(frow_ref, fcol_ref, ftile_ref, fact_ref, meta_ref,
+                     adj_ref, ld_ref, ls_ref, v_ref, out_ref, lse_ref,
+                     acc_ref, m_ref, l_ref, *, slope: float, n_steps: int,
+                     k: int, d: int, dropout_p: float, interpret: bool):
+    """Flat active-tile forward grid (results/ROOFLINE.md r5): one grid
+    step per OCCUPIED tile in row-block-major order (graph/bcsr.py
+    flat_fwd_map) instead of a rectangular (nb_r, c_max) grid - skewed
+    tile distributions pay no masked steps and no masked-step block DMA.
+    Row boundaries are detected from the prefetched row list; inactive
+    steps (empty row blocks) run only init+finalize, producing the
+    edgeless-row zeros. (A paired two-tiles-per-step variant measured
+    SLOWER on-chip: doubling the DMA windows per step cost more than the
+    amortized fixed step cost.)"""
+    t = pl.program_id(0)
+    rb = frow_ref[t]
+
+    @pl.when((t == 0) | (rb != frow_ref[jnp.maximum(t - 1, 0)]))
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INIT)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(fact_ref[t] == 1)
+    def _compute():
+        _fwd_tile_compute(adj_ref, ld_ref, ls_ref, v_ref, acc_ref, m_ref,
+                          l_ref, meta_ref, rb + meta_ref[1],
+                          fcol_ref[t] + meta_ref[3], slope=slope, k=k, d=d,
+                          dropout_p=dropout_p, interpret=interpret)
+
+    @pl.when((t == n_steps - 1)
+             | (rb != frow_ref[jnp.minimum(t + 1, n_steps - 1)]))
+    def _finalize():
+        _fwd_finalize(out_ref, lse_ref, acc_ref, m_ref, l_ref, k=k, d=d)
 
 
 def _flash_fwd(fcnt, fcol, ftile, meta, tiles2d, ld, ls, v, *, slope: float,
@@ -215,6 +267,54 @@ def _flash_fwd(fcnt, fcol, ftile, meta, tiles2d, ld, ls, v, *, slope: float,
         ],
         interpret=interpret,
     )(fcnt, fcol, ftile, meta, tiles2d, ld, ls, v2)
+    return out.reshape(n_rows, k, d), lse
+
+
+def _flash_fwd_flat(flat, meta, tiles2d, ld, ls, v, *,
+                    slope: float, bm: int, bn: int, interpret: bool,
+                    dropout_p: float = 0.0):
+    """Forward over the flat active-tile step list (see _fwd_kernel_flat).
+    ``flat`` = the (row, col, tile, active) tuple from
+    graph/bcsr.flat_fwd_map."""
+    frow, fcolf, ftilef, fact = flat
+    n_cols, k, d = v.shape
+    kp, n_rows = ld.shape
+    n_steps = int(frow.shape[0])
+    kd = k * d
+    v2 = v.reshape(n_cols, kd)
+    kernel = functools.partial(_fwd_kernel_flat, slope=slope,
+                               n_steps=n_steps, k=k, d=d,
+                               dropout_p=dropout_p, interpret=interpret)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda t, fr, fc, ft, fa, mt: (ft[t], 0)),
+            pl.BlockSpec((kp, bm), lambda t, fr, fc, ft, fa, mt: (0, fr[t])),
+            pl.BlockSpec((kp, bn), lambda t, fr, fc, ft, fa, mt: (0, fc[t])),
+            pl.BlockSpec((bn, kd), lambda t, fr, fc, ft, fa, mt: (fc[t], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, kd), lambda t, fr, fc, ft, fa, mt: (fr[t], 0)),
+            pl.BlockSpec((kp, bm), lambda t, fr, fc, ft, fa, mt: (0, fr[t])),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bm, kd), jnp.float32),
+            pltpu.VMEM((kp, bm), jnp.float32),
+            pltpu.VMEM((kp, bm), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, kd), jnp.float32),
+            jax.ShapeDtypeStruct((kp, n_rows), jnp.float32),
+        ],
+        interpret=interpret,
+    )(frow, fcolf, ftilef, fact, meta, tiles2d, ld, ls, v2)
     return out.reshape(n_rows, k, d), lse
 
 
@@ -557,6 +657,53 @@ def _flash_core_bwd(slope, bm, bn, interpret, dropout_p, res, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
+def _flash_core_flat(tiles2d, flat, fcnt, fcol, ftile,
+                     bcnt, brow, btile, meta, ld, ls, v, slope, bm, bn,
+                     interpret, dropout_p):
+    """Single-chip forward over the flat paired-tile grid; the backward is
+    the shared fused column-sweep (_flash_bwd, unchanged — its dropout
+    replay keys on global (row block, column block, head), which the flat
+    forward preserves)."""
+    out, _ = _flash_fwd_flat(flat, meta, tiles2d, ld, ls, v, slope=slope,
+                             bm=bm, bn=bn, interpret=interpret,
+                             dropout_p=dropout_p)
+    return out
+
+
+def _flash_core_flat_fwd(tiles2d, flat, fcnt, fcol,
+                         ftile, bcnt, brow, btile, meta, ld, ls, v, slope,
+                         bm, bn, interpret, dropout_p):
+    out, lse = _flash_fwd_flat(flat, meta, tiles2d, ld, ls, v, slope=slope,
+                               bm=bm, bn=bn, interpret=interpret,
+                               dropout_p=dropout_p)
+    return out, (tiles2d, flat, fcnt, fcol, ftile,
+                 bcnt, brow, btile, meta, ld, ls, v, out, lse)
+
+
+def _flash_core_flat_bwd(slope, bm, bn, interpret, dropout_p, res, g):
+    import numpy as np
+
+    (tiles2d, flat, fcnt, fcol, ftile, bcnt, brow,
+     btile, meta, ld, ls, v, out, lse) = res
+    kp = ld.shape[0]
+    k = v.shape[1]
+    n_rows = g.shape[0]
+    delta = jnp.zeros((kp, n_rows), jnp.float32).at[:k].set(
+        jnp.sum(g.astype(jnp.float32) * out, axis=-1).T)
+    dld, dls, dv = _flash_bwd(fcnt, fcol, ftile, bcnt, brow, btile, meta,
+                              tiles2d, ld, ls, v, g, lse, delta, slope=slope,
+                              bm=bm, bn=bn, interpret=interpret,
+                              dropout_p=dropout_p)
+    z = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (z(tiles2d), tuple(z(a) for a in flat), z(fcnt),
+            z(fcol), z(ftile), z(bcnt), z(brow), z(btile), z(meta),
+            dld, dls, dv.astype(v.dtype))
+
+
+_flash_core_flat.defvjp(_flash_core_flat_fwd, _flash_core_flat_bwd)
+
+
 def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -620,8 +767,18 @@ def flash_gat_attention(
                       jnp.zeros((), jnp.int32)])
 
     tiles2d = graph.tiles.reshape(-1, bn)
-    out = _flash_core(tiles2d, graph.fwd_count, graph.fwd_col,
-                      graph.fwd_tile, graph.bwd_count, graph.bwd_row,
-                      graph.bwd_tile, meta, ld, ls, v, slope, bm, bn,
-                      interpret, float(coef_dropout))
+    if graph.fwd_flat is not None:
+        # flat PAIRED active-tile forward grid (no masked steps, fixed
+        # per-step cost amortized over two tiles — results/ROOFLINE.md
+        # r5); backward shared with the 2D path
+        out = _flash_core_flat(
+            tiles2d, tuple(graph.fwd_flat), graph.fwd_count,
+            graph.fwd_col, graph.fwd_tile, graph.bwd_count, graph.bwd_row,
+            graph.bwd_tile, meta, ld, ls, v, slope, bm, bn, interpret,
+            float(coef_dropout))
+    else:
+        out = _flash_core(tiles2d, graph.fwd_count, graph.fwd_col,
+                          graph.fwd_tile, graph.bwd_count, graph.bwd_row,
+                          graph.bwd_tile, meta, ld, ls, v, slope, bm, bn,
+                          interpret, float(coef_dropout))
     return out[:n].astype(fts.dtype)
