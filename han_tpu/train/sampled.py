@@ -768,6 +768,11 @@ class DPSampledTrainer(SampledTrainer):
                  **kw):
         from han_tpu.parallel.mesh import GRAPH_AXIS
 
+        if kw.get("sampler", "host") == "device":
+            raise NotImplementedError(
+                "DPSampledTrainer shards host-built blocks; the device "
+                "sampler is single-chip (its DP composition would sample "
+                "inside the sharded step — not wired up)")
         self.mesh = mesh
         self.n_shards = int(mesh.shape[GRAPH_AXIS])
         if batch_size % self.n_shards:

@@ -332,6 +332,50 @@ def test_device_sampler_training_learns(small_ds):
     assert result["test_acc"] > 0.55
 
 
+def test_device_sampler_two_hop_exactness(small_ds):
+    """Two GAT layers, device sampling, exhaustive fanout: seed logits
+    equal the full-graph forward (the L-hop static-iota block layout
+    gives every level its full in-neighborhood when F >= max degree)."""
+    ds = small_ds
+    max_deg = 1 + max(int(np.diff(a.indptr).max()) for a in ds.metapath_adjs)
+    cfg = preset("acm")
+    cfg.model.impl = "ell"
+    cfg.train.log_file = ""
+    cfg.model.hid_units = [8, 8]   # 2 layers -> hops = 2
+    cfg.model.n_heads = [2, 2, 1]
+    cfg.model.attn_drop = 0.0
+    cfg.model.ffd_drop = 0.0
+    b = 4
+    need = sum(b * max_deg ** h for h in range(3))
+    t = SampledTrainer(ds, cfg, batch_size=b, fanout=max_deg,
+                       block_size=need, sampler="device")
+    assert t.hops == 2
+    seeds = np.array([0, 5, 9, 33], np.int32)
+    batch = t._make_batch(seeds, np.ones(b, bool), sample_seed=1)
+    params = t._init_params_from(jax.random.PRNGKey(1), batch[0], batch[1])
+    opt_state = t.tx.init(params)
+    # device step loss vs host-block step loss on the same seeds/params
+    rng = jax.random.PRNGKey(3)
+    _, _, _, loss_dev, acc_dev = t._train_step(params, opt_state, rng, *batch)
+    hb = t._make_batch_host(seeds, np.ones(b, bool), sample_seed=1)
+    _, _, _, loss_host, acc_host = t._train_step(params, opt_state, rng, *hb)
+    np.testing.assert_allclose(float(loss_dev), float(loss_host),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(acc_dev), float(acc_host), rtol=1e-6)
+
+
+def test_dp_rejects_device_sampler(small_ds):
+    from han_tpu.parallel.mesh import make_mesh
+    from han_tpu.train.sampled import DPSampledTrainer
+
+    cfg = preset("acm")
+    cfg.model.impl = "ell"
+    cfg.train.log_file = ""
+    with pytest.raises(NotImplementedError, match="device"):
+        DPSampledTrainer(small_ds, cfg, mesh=make_mesh(graph=2, heads=1),
+                         batch_size=16, fanout=4, sampler="device")
+
+
 class _TripAfter:
     """Fault injection: quacks like PreemptionGuard, fires after n polls
     (the trainer polls once per trained batch)."""
