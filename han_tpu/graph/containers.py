@@ -128,6 +128,29 @@ class EllGraph:
 _register_pytree(EllGraph, ("nbr", "deg"), ("n_nodes", "n_edges"))
 
 
+@dataclasses.dataclass(frozen=True)
+class TreeEllGraph(EllGraph):
+    """ELL block whose rows form a TREE: every non-root row is referenced
+    by EXACTLY ONE (row, slot) of ``nbr`` — the no-dedup L-hop layout the
+    device-side sampler emits (train/sampled._device_sample_block: level
+    l+1 row ``base + r·F + f`` is the f-th sampled in-neighbor of level-l
+    row r, and of nothing else).
+
+    ``parent_row[j] / parent_slot[j]`` invert that reference (sentinel
+    n_nodes when j is a root/pad row). The attention backward over such a
+    block needs NO scatter: the d_logit_src / d_values transposes become
+    single gathers through the parent maps (ops/tree_ell.py) — TPU has no
+    efficient scatter, so this is the fast sampled-training backward.
+    """
+
+    parent_row: jax.Array = None   # int32[N], sentinel = n_nodes
+    parent_slot: jax.Array = None  # int32[N], sentinel = 0
+
+
+_register_pytree(TreeEllGraph, ("nbr", "deg", "parent_row", "parent_slot"),
+                 ("n_nodes", "n_edges"))
+
+
 # ---------------------------------------------------------------------------
 # Builders (host-side, numpy)
 # ---------------------------------------------------------------------------

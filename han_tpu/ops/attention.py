@@ -256,6 +256,17 @@ def attention_aggregate(
     return_coefs: bool = False,
 ):
     """Dispatch on graph container type / requested implementation."""
+    if type(graph).__name__ == "TreeEllGraph":
+        # device-sampled tree blocks: scatter-free backward through the
+        # parent maps (ops/tree_ell.py)
+        from han_tpu.ops.tree_ell import tree_ell_attention
+
+        if return_coefs:
+            raise NotImplementedError("return_coefs unsupported on TreeEllGraph")
+        return tree_ell_attention(
+            graph, fts, logit_dst, logit_src, slope=slope,
+            coef_dropout=coef_dropout, dropout_rng=dropout_rng,
+        )
     if type(graph).__name__ == "PartitionedCSR":
         from han_tpu.parallel.shard_attn import partitioned_attention
 

@@ -344,8 +344,17 @@ class SampledTrainer:
 
         if self.sampler == "device":
             # sampling inside the step: block descriptors in, blocks built
-            # from the HBM-resident CSRs as gathers (+ static-iota ELL)
+            # from the HBM-resident CSRs as gathers (+ static-iota ELL).
+            # The no-dedup layout is a TREE, so the blocks carry static
+            # parent maps and dispatch to the scatter-free tree_ell
+            # backward (ops/tree_ell.py)
+            from han_tpu.graph.containers import TreeEllGraph
+            from han_tpu.ops.tree_ell import tree_parent_maps
+
             fanout, hops, block = self.fanout, self.hops, self.block_size
+            pr_np, ps_np = tree_parent_maps(self.batch_size, fanout, hops,
+                                            block)
+            pr_c, ps_c = jnp.asarray(pr_np), jnp.asarray(ps_np)
 
             def build_blocks(seeds, valid, skey, csrs):
                 graphs, xs, n_edges = [], [], jnp.int32(0)
@@ -353,8 +362,10 @@ class SampledTrainer:
                     nbr, deg, nodes, ne = _device_sample_block(
                         rp, ci, seeds, valid, jax.random.fold_in(skey, p),
                         fanout=fanout, hops=hops, block_size=block)
-                    graphs.append(EllGraph(nbr=nbr, deg=deg, n_nodes=block,
-                                           n_edges=block * fanout))
+                    graphs.append(TreeEllGraph(
+                        nbr=nbr, deg=deg, n_nodes=block,
+                        n_edges=block * fanout,
+                        parent_row=pr_c, parent_slot=ps_c))
                     xs.append(nodes)
                     n_edges = n_edges + ne
                 mask = jnp.zeros(block, jnp.float32).at[
