@@ -58,6 +58,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--impl", default="ell", choices=["ell", "ell_fused"])
     p.add_argument("--sampler", default="host", choices=["host", "device"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -91,6 +93,7 @@ def main(argv=None):
 
     cfg = preset("acm")
     cfg.model.impl = args.impl
+    cfg.model.dtype = args.dtype
     cfg.train.log_file = ""
     trainer = SampledTrainer(ds, cfg, batch_size=args.batch_size,
                              fanout=args.fanout, eval_batches=1,
@@ -158,7 +161,7 @@ def main(argv=None):
     step_ms = t_total / max(n_steps, 1) * 1e3
     result = {
         "metric": (f"sampled-edges/s/chip (train fwd+bwd, impl={args.impl}, "
-                   f"sampler={args.sampler}, N={n}, E={total_edges}, "
+                   f"sampler={args.sampler}, dtype={args.dtype}, N={n}, E={total_edges}, "
                    f"B={args.batch_size}, f={args.fanout})"),
         "value": round(sampled_edges * heads / t_total, 1),
         "unit": "edges/s/chip",
