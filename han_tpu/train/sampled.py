@@ -132,12 +132,19 @@ class SampledTrainer:
                  eval_batches: int | None = None,
                  logger: MetricLogger | None = None,
                  guard=None, resident_features: bool | None = None,
-                 sampler: str = "host"):
+                 sampler: str = "host", steps_per_call: int = 1):
         self.ds = ds
         self.cfg = cfg
         if sampler not in ("host", "device"):
             raise ValueError("sampler must be 'host' or 'device'")
+        if steps_per_call > 1 and sampler != "device":
+            raise ValueError("steps_per_call > 1 needs sampler='device'")
         self.sampler = sampler
+        # device mode: dispatch C training steps per jit call (lax.scan
+        # over C packed seed descriptors) — amortizes the per-call
+        # dispatch + descriptor-transfer latency; the math is exactly C
+        # sequential steps (tests)
+        self.steps_per_call = int(steps_per_call)
         # preemption flag polled at batch boundaries (train/preempt.py);
         # None → no signal handling (tests inject via guard.trip())
         self.guard = guard
@@ -391,12 +398,33 @@ class SampledTrainer:
                 return eval_step(params, graphs, xs, None, mask, fts,
                                  lab_tab) + (ne,)
 
+            def dev_train_chunk(params, opt_state, rng, packs,
+                                fts, lab_tab, csrs):
+                # C sequential steps in ONE dispatch (lax.scan): identical
+                # math to C separate dev_train_step calls
+                def body(carry, packed):
+                    p, o, r = carry
+                    p, o, r, loss, acc, ne = dev_train_step(
+                        p, o, r, packed, fts, lab_tab, csrs)
+                    return (p, o, r), (loss, acc, ne)
+
+                (params, opt_state, rng), (losses, accs, nes) = jax.lax.scan(
+                    body, (params, opt_state, rng), packs)
+                return params, opt_state, rng, losses, accs, nes.sum()
+
             djt, dje = jax.jit(dev_train_step), jax.jit(dev_eval_step)
+            djc = jax.jit(dev_train_chunk)
             self._pending_edge_counts = []
 
             def tr(p, o, r, *batch):
                 if isinstance(batch[0], (list, tuple)):  # host-built block
                     return jt(p, o, r, *batch, self._fts_dev, self._lbl_dev)
+                if getattr(batch[0], "ndim", 1) == 2:  # stacked descriptors
+                    p2, o2, r2, losses, accs, ne = djc(
+                        p, o, r, batch[0], self._fts_dev, self._lbl_dev,
+                        self._csr_dev)
+                    self._pending_edge_counts.append(ne)
+                    return p2, o2, r2, losses, accs
                 *out, ne = djt(p, o, r, batch[0], self._fts_dev,
                                self._lbl_dev, self._csr_dev)
                 self._pending_edge_counts.append(ne)
@@ -451,6 +479,23 @@ class SampledTrainer:
             if fut is not None:
                 yield fut[0], fut[1].result()
 
+    def _chunked(self, indexed_iter):
+        """Group device-mode descriptors into steps_per_call stacks; yields
+        (last_batch_index, (stacked_descriptors, None, None, None)). The
+        tail (< steps_per_call batches) is yielded as SINGLE descriptors —
+        reusing the per-step program instead of compiling a distinct
+        shorter-chunk program."""
+        buf, last_bi, bis = [], -1, []
+        for bi, (packed, _, _, _) in indexed_iter:
+            buf.append(np.asarray(packed))
+            bis.append(bi)
+            last_bi = bi
+            if len(buf) == self.steps_per_call:
+                yield last_bi, (np.stack(buf), None, None, None)
+                buf, bis = [], []
+        for bi, packed in zip(bis, buf):
+            yield bi, (packed, None, None, None)
+
     # -- batch iteration ---------------------------------------------------
     def _seed_batches(self, idx: np.ndarray, *, shuffle: bool, epoch: int):
         rng = np.random.default_rng(self.cfg.train.seed * 1_000_003 + epoch)
@@ -471,9 +516,12 @@ class SampledTrainer:
 
     def _init_params_from(self, rng, graphs, xs):
         if not isinstance(graphs, (list, tuple)):
-            # device-sampler packed descriptor: shapes at apply time equal
-            # a host-built block's — init through one host block
+            # device-sampler packed descriptor (possibly a stacked chunk):
+            # shapes at apply time equal a host-built block's — init
+            # through one host block
             packed = np.asarray(graphs)
+            if packed.ndim == 2:
+                packed = packed[0]
             s = (packed.shape[0] - 1) // 2
             graphs, xs, _, _ = self._make_batch_host(
                 packed[:s], packed[s:2 * s] != 0, sample_seed=0)
@@ -678,11 +726,19 @@ class SampledTrainer:
             batches = ((bi, b) for bi, b in enumerate(
                 self._seed_batches(train_idx, shuffle=True, epoch=epoch))
                 if bi >= skip)
-            for bi, (graphs, xs, lbl, mask) in self._prefetched_indexed(
-                    batches, lambda bi: epoch * 65_537 + bi):
+            step_iter = self._prefetched_indexed(
+                batches, lambda bi: epoch * 65_537 + bi)
+            if self.steps_per_call > 1:
+                step_iter = self._chunked(step_iter)
+            for bi, (graphs, xs, lbl, mask) in step_iter:
                 params, opt_state, step_rng, loss, acc = self._train_step(
                     params, opt_state, step_rng, graphs, xs, lbl, mask)
-                loss_sum += float(loss); acc_sum += float(acc); n_done += 1
+                if np.ndim(loss):  # chunked dispatch: per-step vectors
+                    loss_sum += float(jnp.sum(loss))
+                    acc_sum += float(jnp.sum(acc))
+                    n_done += int(np.shape(loss)[0])
+                else:
+                    loss_sum += float(loss); acc_sum += float(acc); n_done += 1
                 if self.guard is not None and self.guard.triggered:
                     # preemption: full resume state incl. the batch cursor
                     self._save(mgr, epoch * _EPOCH_STRIDE + bi + 1,

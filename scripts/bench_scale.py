@@ -60,6 +60,8 @@ def main(argv=None):
     p.add_argument("--sampler", default="host", choices=["host", "device"])
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="device mode: scan C steps per jit dispatch")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -97,7 +99,8 @@ def main(argv=None):
     cfg.train.log_file = ""
     trainer = SampledTrainer(ds, cfg, batch_size=args.batch_size,
                              fanout=args.fanout, eval_batches=1,
-                             sampler=args.sampler)
+                             sampler=args.sampler,
+                             steps_per_call=args.steps_per_call)
 
     train_idx = np.where(ds.train_mask)[0]
     params = None
@@ -105,6 +108,8 @@ def main(argv=None):
     batches = trainer._prefetched_indexed(
         enumerate(trainer._seed_batches(train_idx, shuffle=True, epoch=0)),
         lambda bi: bi)
+    if trainer.steps_per_call > 1:
+        batches = trainer._chunked(batches)
     _, first = next(batches)
     graphs, xs, lbl, mask = first
     params = trainer._init_params_from(jax.random.PRNGKey(0), graphs, xs)
@@ -113,7 +118,14 @@ def main(argv=None):
     # warmup / compile on the first batch
     out = trainer._train_step(params, opt_state, step_rng, graphs, xs, lbl, mask)
     params, opt_state, step_rng = out[0], out[1], out[2]
-    float(out[3])  # force completion (axon: block_until_ready is enqueue-only)
+    float(np.asarray(out[3]).ravel()[-1])  # force (axon block is enqueue-only)
+    if trainer.steps_per_call > 1:
+        # warm the per-step program too (the chunker's tail uses it)
+        wb = trainer._make_batch(np.asarray(graphs)[0][:args.batch_size]
+                                 .astype(np.int32),
+                                 np.ones(args.batch_size, bool), 999)
+        wout = trainer._train_step(params, opt_state, step_rng, *wb)
+        float(np.asarray(wout[3]).ravel()[-1])
     print("# compiled; timing", file=sys.stderr, flush=True)
 
     edges0 = trainer.flush_sampled_edges()
@@ -126,8 +138,8 @@ def main(argv=None):
         params, opt_state, step_rng, loss, acc = trainer._train_step(
             params, opt_state, step_rng, graphs, xs, lbl, mask)
         step_times.append(time.perf_counter() - ts)
-        n_steps += 1
-    final_loss = float(loss)  # forces the whole chain
+        n_steps += int(np.shape(loss)[0]) if np.ndim(loss) else 1
+    final_loss = float(np.asarray(loss).ravel()[-1])  # forces the chain
     sampled_edges = trainer.flush_sampled_edges() - edges0
     t_total = time.perf_counter() - t_loop0
 
@@ -161,7 +173,8 @@ def main(argv=None):
     step_ms = t_total / max(n_steps, 1) * 1e3
     result = {
         "metric": (f"sampled-edges/s/chip (train fwd+bwd, impl={args.impl}, "
-                   f"sampler={args.sampler}, dtype={args.dtype}, N={n}, E={total_edges}, "
+                   f"sampler={args.sampler}, dtype={args.dtype}, spc={args.steps_per_call}, "
+                   f"N={n}, E={total_edges}, "
                    f"B={args.batch_size}, f={args.fanout})"),
         "value": round(sampled_edges * heads / t_total, 1),
         "unit": "edges/s/chip",

@@ -364,6 +364,35 @@ def test_device_sampler_two_hop_exactness(small_ds):
     np.testing.assert_allclose(float(acc_dev), float(acc_host), rtol=1e-6)
 
 
+def test_device_sampler_chunked_dispatch_matches(small_ds):
+    """steps_per_call > 1 scans C descriptors per jit call — the loss
+    trajectory must equal per-step dispatch exactly (same seeds, same
+    math, only dispatch granularity changes)."""
+    rows = {}
+    for spc in (1, 3):
+        from han_tpu.train.trainer import MetricLogger
+
+        class Cap(MetricLogger):
+            def __init__(self):
+                super().__init__("", echo=False)
+                self.rows = []
+
+            def log(self, rec):
+                self.rows.append(rec)
+
+        cap = Cap()
+        t = make_trainer(small_ds, batch_size=16, fanout=6, epochs=4,
+                         sampler="device", steps_per_call=spc, logger=cap)
+        t.fit()
+        rows[spc] = [(r["epoch"], r["train_loss"], r["val_loss"])
+                     for r in cap.rows if "train_loss" in r]
+    assert rows[1] and len(rows[1]) == len(rows[3])
+    for (e1, l1, v1), (e3, l3, v3) in zip(rows[1], rows[3]):
+        assert e1 == e3
+        np.testing.assert_allclose(l1, l3, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(v1, v3, rtol=1e-6, atol=1e-7)
+
+
 def test_dp_rejects_device_sampler(small_ds):
     from han_tpu.parallel.mesh import make_mesh
     from han_tpu.train.sampled import DPSampledTrainer
