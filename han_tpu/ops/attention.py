@@ -201,14 +201,53 @@ def spmm_aggregate(graph: CSRGraph, coefs: jax.Array, fts: jax.Array) -> jax.Arr
     """out[i] = sum over edges e with row_e == i of coefs[e] * fts[col_e].
 
     coefs: (E_pad, K); fts: (N, K, D) → out (N, K, D).
+
+    Flat (K·D)-lane layout throughout: a rank-3 (E, K, D) edge tensor pads
+    its trailing dim to the 128-lane tile — 16× memory at D=8, which OOMs
+    the 5M-edge DBLP meta-path at 20 GB — while (E, K·D) pads ≤2×.
     """
     n, k, d = fts.shape
-    fts_pad = jnp.concatenate([fts, jnp.zeros((1, k, d), fts.dtype)], axis=0)
-    vals = coefs[:, :, None] * fts_pad[graph.col_idx]  # (E_pad, K, D)
+    fts_pad = jnp.concatenate(
+        [fts.reshape(n, k * d), jnp.zeros((1, k * d), fts.dtype)], axis=0)
+    cexp = jnp.repeat(coefs, d, axis=1)                # (E_pad, K·D)
+    vals = cexp * fts_pad[graph.col_idx]               # (E_pad, K·D)
     out = jax.ops.segment_sum(
         vals, graph.row_idx, num_segments=n + 1, indices_are_sorted=True
     )
-    return out[:n].astype(fts.dtype)
+    return out[:n].reshape(n, k, d).astype(fts.dtype)
+
+
+def edge_attention_coefs(graph: CSRGraph, logit_dst: jax.Array,
+                         logit_src: jax.Array, *,
+                         slope: float = 0.2) -> jax.Array:
+    """Per-edge attention coefficients (E_pad, K) for analysis, computed
+    HEAD-AT-A-TIME over 1-D edge arrays.
+
+    The generic csr path's (E, K) edge tensors pad K=8 to the 128-lane
+    tile — 16× memory, which exhausts HBM on multi-million-edge
+    meta-paths (DBLP APCPA, 5.0M edges: >15 GB peak). 1-D (E,) arrays lay
+    out along lanes with no such padding, so the per-head peak is O(E)
+    bytes; the static head loop trades VPU width for 8× less memory —
+    the right trade for an analysis surface (reference coef output,
+    gat.py:148-173)."""
+    k = logit_dst.shape[1]
+    ld_pad = jnp.concatenate([logit_dst, jnp.zeros((1, k), logit_dst.dtype)])
+    ls_pad = jnp.concatenate([logit_src, jnp.zeros((1, k), logit_src.dtype)])
+    rows = graph.row_idx
+    n_seg = graph.n_nodes + 1
+    outs = []
+    for h in range(k):
+        le = leaky_relu(ld_pad[graph.row_idx, h] + ls_pad[graph.col_idx, h],
+                        slope)
+        le = jnp.where(graph.edge_mask, le, MASK_VALUE)
+        seg_max = jax.ops.segment_max(le, rows, num_segments=n_seg,
+                                      indices_are_sorted=True)
+        seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+        e = jnp.where(graph.edge_mask, jnp.exp(le - seg_max[rows]), 0.0)
+        seg_sum = jax.ops.segment_sum(e, rows, num_segments=n_seg,
+                                      indices_are_sorted=True)
+        outs.append(e / jnp.maximum(seg_sum[rows], 1e-30))
+    return jnp.stack(outs, axis=1)
 
 
 def csr_attention(

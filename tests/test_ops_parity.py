@@ -134,3 +134,25 @@ def test_coef_dropout_scales_correctly():
     outs = [np.asarray(f(jax.random.PRNGKey(s))) for s in range(500)]
     mean = np.stack(outs).mean(axis=0)
     np.testing.assert_allclose(mean, np.asarray(out_ref), atol=0.1)
+
+
+def test_edge_attention_coefs_matches_segment_softmax():
+    """The lane-efficient head-looped analysis path (edge_attention_coefs)
+    equals the generic csr coefficients exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from han_tpu.graph.build import metapath_to_csr
+    from han_tpu.graph.synthetic import planted_hetero
+    from han_tpu.ops.attention import (edge_attention_coefs,
+                                       segment_softmax, sddmm_edge_logits)
+
+    ds = planted_hetero(n_nodes=90, n_feats=8, n_classes=3, n_metapaths=1,
+                        avg_degree=5.0, train_per_class=8, n_val=8, seed=2)
+    g = metapath_to_csr(ds.metapath_adjs[0], edge_pad_to=64)
+    rng = np.random.default_rng(0)
+    ld = jnp.asarray(rng.standard_normal((90, 4)).astype(np.float32))
+    ls = jnp.asarray(rng.standard_normal((90, 4)).astype(np.float32))
+    ref = segment_softmax(g, sddmm_edge_logits(g, ld, ls))
+    got = edge_attention_coefs(g, ld, ls)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
