@@ -47,6 +47,13 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 0  # additionally every N epochs (0 = only on best)
     log_file: str = ""  # jsonl metrics log ("" = stdout only)
+    # mini-batch neighbor-sampled training (train/sampled.py) instead of
+    # full-graph steps — the >HBM path (SURVEY.md §2.3 sampling row):
+    #   --set train.sampled=true [--set train.sampler=device]
+    sampled: bool = False
+    batch_size: int = 512        # seed nodes per sampled step
+    fanout: int = 16             # sampled in-neighbors per node per hop
+    sampler: str = "host"        # host (C++ sampler) | device (in-step)
     # XLA scoped-VMEM budget (KiB) passed as a per-compile option; 0 = XLA
     # default (16 MiB). vmap_towers+flash needs more: pallas batching
     # serializes the towers into a while loop whose loop-carried kernel

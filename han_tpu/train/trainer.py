@@ -499,4 +499,23 @@ def run(cfg: Config, ds: HeteroDataset | None = None) -> dict[str, Any]:
             logger=MetricLogger(cfg.train.log_file))
         result = trainer.fit(epochs=cfg.train.epochs)
         return {k: v for k, v in result.items() if k != "history"}
+    if cfg.train.sampled:
+        # mini-batch neighbor-sampled training (>HBM graphs): the ell
+        # backend over L-hop blocks; sampler='device' keeps the CSRs
+        # HBM-resident and samples inside the jitted step
+        from han_tpu.train.sampled import DPSampledTrainer, SampledTrainer
+
+        if cfg.model.impl not in ("auto", "ell", "ell_fused"):
+            cfg.model.impl = "auto"
+        if cfg.mesh.graph_axis > 1:
+            from han_tpu.parallel.mesh import make_mesh
+
+            trainer = DPSampledTrainer(
+                ds, cfg, mesh=make_mesh(graph=cfg.mesh.graph_axis),
+                batch_size=cfg.train.batch_size, fanout=cfg.train.fanout)
+        else:
+            trainer = SampledTrainer(
+                ds, cfg, batch_size=cfg.train.batch_size,
+                fanout=cfg.train.fanout, sampler=cfg.train.sampler)
+        return trainer.fit()
     return Trainer(ds, cfg).fit()

@@ -268,3 +268,24 @@ def test_preemption_resume_reproduces_trajectory(small_ds, tmp_path):
     assert sorted(lc) == [3, 4, 5]  # resumed exactly after the crash point
     for e in (3, 4, 5):
         assert np.isclose(la[e], lc[e], rtol=1e-6, atol=1e-7), (e, la[e], lc[e])
+
+
+def test_sampled_front_door(small_ds, tmp_path):
+    """run() routes --set train.sampled=true to the SampledTrainer — the
+    >HBM path is reachable from the same front door as every other
+    trainer, including the device sampler."""
+    from han_tpu.train import trainer as train_mod
+
+    for sampler in ("host", "device"):
+        cfg = preset("acm")
+        cfg.train.sampled = True
+        cfg.train.sampler = sampler
+        cfg.train.epochs = 3
+        cfg.train.batch_size = 16
+        cfg.train.fanout = 6
+        cfg.train.log_file = ""
+        cfg.train.checkpoint_dir = str(tmp_path / sampler)
+        cfg.model.hid_units = (8,)
+        cfg.model.n_heads = (2, 1)
+        res = train_mod.run(cfg, ds=small_ds)
+        assert "test_acc" in res and np.isfinite(res["test_loss"])
